@@ -20,13 +20,24 @@ def has_reference() -> bool:
     return os.path.isdir(REFERENCE_PATH)
 
 
-def load_reference_module(relpath: str, name: str):
+def load_reference_module(relpath: str, name: str = ""):
     """Import a single module file from the read-only reference tree for
-    golden behavioral comparison (never copied into this repo)."""
+    golden behavioral comparison (never copied into this repo). A synthetic
+    parent package is registered so the module's relative imports resolve."""
     import importlib.util
+    import types
 
     path = os.path.join(REFERENCE_PATH, relpath)
-    spec = importlib.util.spec_from_file_location(name, path)
+    pkg_name = "refpkg_" + os.path.dirname(relpath).replace("/", "_").replace(".", "_")
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [os.path.dirname(path)]
+        sys.modules[pkg_name] = pkg
+    mod_name = pkg_name + "." + os.path.splitext(os.path.basename(path))[0]
+    if mod_name in sys.modules:
+        return sys.modules[mod_name]
+    spec = importlib.util.spec_from_file_location(mod_name, path)
     mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
     spec.loader.exec_module(mod)
     return mod

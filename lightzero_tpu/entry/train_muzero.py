@@ -1,0 +1,175 @@
+"""The canonical MuZero training entry (reference
+lzero/entry/train_muzero.py:24 — see SURVEY.md §3.1 call stack), rebuilt
+around jitted collection/search/training.
+
+Loop: [eval every eval_freq] → collect n_episode episodes → push to buffer →
+update_per_collect gradient steps (priority-resampled each step) → repeat
+until max_env_step or stop_value reached.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+
+from lightzero_tpu.buffers import GameBuffer
+from lightzero_tpu.config import Config, compile_config
+from lightzero_tpu.ops import visit_count_temperature
+from lightzero_tpu.policy import MuZeroPolicy
+from lightzero_tpu.utils import ENV_REGISTRY
+from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from lightzero_tpu.utils.logger import ExperimentLogger
+from lightzero_tpu.workers import Evaluator, RolloutCollector
+
+# env_id aliases (reference uses gym ids in configs)
+ENV_ALIASES = {
+    "CartPole-v0": ("cartpole", {}),
+    "CartPole-v1": ("cartpole", {"max_episode_steps": 500}),
+}
+
+
+def create_env(env_cfg: Config):
+    env_id = env_cfg.get("env_id", env_cfg.get("type"))
+    if env_id in ENV_ALIASES:
+        key, kwargs = ENV_ALIASES[env_id]
+    else:
+        key, kwargs = env_id, {}
+    kwargs = dict(kwargs)
+    kwargs.update(env_cfg.get("env_kwargs", {}))
+    return ENV_REGISTRY.build(key, **kwargs)
+
+
+def train_muzero(
+    cfg,
+    seed: int = 0,
+    model_path: Optional[str] = None,
+    max_env_step: int = int(1e6),
+    max_train_iter: int = int(1e9),
+):
+    if isinstance(cfg, (list, tuple)):  # reference passes [main, create]
+        cfg = cfg[0]
+    cfg = compile_config(cfg, MuZeroPolicy.default_config(), seed)
+    pcfg = cfg.policy
+    pcfg.seed = seed
+
+    rng = jax.random.PRNGKey(seed)
+    env = create_env(cfg.env)
+    policy = MuZeroPolicy(pcfg)
+    rng, init_rng = jax.random.split(rng)
+    state = policy.init_train_state(init_rng)
+    if model_path:
+        state = load_checkpoint(model_path, target=state)
+
+    buffer = GameBuffer(pcfg, policy)
+    n_collect_envs = cfg.env.get("collector_env_num", 8)
+    n_eval_envs = cfg.env.get("evaluator_env_num", 3)
+    rng, c_rng, e_rng = jax.random.split(rng, 3)
+    collector = RolloutCollector(env, policy, n_collect_envs, rng=c_rng)
+    evaluator = Evaluator(env, policy, n_eval_envs, rng=e_rng)
+    logger = ExperimentLogger(cfg.exp_name, "train")
+    stop_value = cfg.env.get("stop_value", float("inf"))
+    eval_freq = int(pcfg.get("eval_freq", 100))
+    batch_size = int(pcfg.batch_size)
+    n_episode = int(pcfg.get("n_episode", 8))
+    update_per_collect = pcfg.get("update_per_collect", None)
+    last_eval_iter = -eval_freq - 1
+
+    train_iter = 0
+    logger.info(
+        f"train_muzero: exp={cfg.exp_name} max_env_step={max_env_step} "
+        f"sims={pcfg.num_simulations} batch={batch_size}"
+    )
+    while collector.total_env_steps < max_env_step and train_iter < max_train_iter:
+        temperature = visit_count_temperature(
+            pcfg.get("manual_temperature_decay", False),
+            pcfg.get("fixed_temperature_value", 1.0),
+            pcfg.get("threshold_training_steps_for_final_temperature", int(1e5)),
+            train_iter,
+        )
+        # ---- eval ----
+        if train_iter - last_eval_iter >= eval_freq:
+            last_eval_iter = train_iter
+            res = evaluator.eval(state.params, n_episodes=cfg.env.get("n_evaluator_episode", n_eval_envs))
+            logger.log_scalars(
+                {"eval_mean_return": res["mean_return"], "eval_max_return": res["max_return"]},
+                collector.total_env_steps,
+                prefix="evaluator/",
+            )
+            logger.info(
+                f"iter={train_iter} envstep={collector.total_env_steps} "
+                f"EVAL mean_return={res['mean_return']:.1f}"
+            )
+            if res["new_best"]:
+                save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_best"))
+            if res["mean_return"] >= stop_value:
+                logger.info(f"stop_value {stop_value} reached; stopping.")
+                break
+        # ---- collect ----
+        episodes, priorities, cstats = collector.collect(
+            state.params,
+            temperature=temperature,
+            epsilon=pcfg.get("collect_epsilon", 0.0),
+            num_episodes=n_episode,
+        )
+        buffer.push_episodes(episodes, priorities)
+        logger.log_scalars(
+            {
+                "collect_mean_return": cstats["mean_return"],
+                "steps_per_sec": cstats["steps_per_sec"],
+                "buffer_transitions": buffer.num_transitions,
+                "temperature": temperature,
+            },
+            collector.total_env_steps,
+            prefix="collector/",
+        )
+        # ---- train ----
+        if update_per_collect is None:
+            upc = max(1, int(cstats["steps"] * float(pcfg.get("replay_ratio", 0.25))))
+        else:
+            upc = int(update_per_collect)
+        if buffer.num_transitions < batch_size:
+            continue
+        logs = {}
+        for _ in range(upc):
+            batch, idx = buffer.sample(batch_size, state.target_params)
+            state, logs, priority = policy.forward_learn(state, batch)
+            buffer.update_priority(idx, np.asarray(priority))
+            train_iter += 1
+        logger.log_scalars(
+            {k: v for k, v in logs.items()}, collector.total_env_steps, prefix="learner/"
+        )
+        logger.info(
+            f"iter={train_iter} envstep={collector.total_env_steps} "
+            f"loss={float(logs.get('total_loss', 0)):.3f} "
+            f"collect_return={cstats['mean_return']:.1f} "
+            f"sps={cstats['steps_per_sec']:.0f}"
+        )
+        if train_iter % int(pcfg.get("save_ckpt_freq", 10_000)) < upc:
+            save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", f"iteration_{train_iter}"))
+
+    save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_final"))
+    logger.close()
+    return policy, state, dict(
+        env_steps=collector.total_env_steps,
+        train_iter=train_iter,
+        best_return=evaluator.best_return,
+    )
+
+
+def eval_muzero(cfg, seed: int = 0, model_path: Optional[str] = None, n_episodes: int = 5):
+    """Load a checkpoint and run deterministic evaluation (reference
+    lzero/entry/eval_muzero.py)."""
+    if isinstance(cfg, (list, tuple)):
+        cfg = cfg[0]
+    cfg = compile_config(cfg, MuZeroPolicy.default_config(), seed, save_cfg=False)
+    env = create_env(cfg.env)
+    policy = MuZeroPolicy(cfg.policy)
+    state = policy.init_train_state(jax.random.PRNGKey(seed))
+    if model_path:
+        state = load_checkpoint(model_path, target=state)
+    evaluator = Evaluator(env, policy, cfg.env.get("evaluator_env_num", 3))
+    return evaluator.eval(state.params, n_episodes=n_episodes)

@@ -1,0 +1,2 @@
+from lightzero_tpu.envs.base import JaxEnv, EnvStep
+from lightzero_tpu.envs import cartpole  # registers 'cartpole'

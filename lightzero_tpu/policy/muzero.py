@@ -1,0 +1,392 @@
+"""MuZero policy: jitted learn / collect / eval paths.
+
+Capability-parity rebuild of reference lzero/policy/muzero.py:
+- ``forward_learn`` = _forward_learn (:361-672): unroll-K losses (value CE +
+  policy CE + reward CE + optional SSL cosine consistency + policy-entropy
+  reg), IS-weighted, total gradient scaled 1/K, grad-norm clip, periodic
+  assign target-network update (:301-307), value_priority = |v̂₀ − z₀|.
+- ``forward_collect`` = _forward_collect (:690-814): initial_inference →
+  batched in-jit MCTS with Dirichlet noise → temperature visit sampling
+  (+ optional epsilon-greedy).
+- ``forward_eval`` = _forward_eval (:857): no noise, deterministic argmax.
+
+TPU-first design: the whole sample→loss→update step is ONE jitted function
+over a pytree TrainState; collect/eval fuse network inference and search in
+a single XLA program (no per-simulation host round trips).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lightzero_tpu.config import Config
+from lightzero_tpu.models import MuZeroModel
+from lightzero_tpu.ops import (
+    DiscreteSupport,
+    cross_entropy_loss,
+    inverse_scalar_transform,
+    phi_transform,
+    scalar_transform,
+)
+from lightzero_tpu.ops.action import sample_from_visit_counts
+from lightzero_tpu.search import (
+    RecurrentOutput,
+    RootOutput,
+    SearchConfig,
+    batch_puct_search,
+)
+from lightzero_tpu.utils import POLICY_REGISTRY
+
+
+class TrainState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    train_iter: jnp.ndarray  # scalar int32
+
+
+class TrainBatch(NamedTuple):
+    """One training batch (assembled by the game buffer).
+
+    obs: (B, K+1, *obs_shape) frame-stacked observations at unroll steps
+    actions: (B, K) int32
+    mask: (B, K) 1.0 while unroll step k is inside the trajectory
+    target_reward: (B, K) scalar rewards (transition k)
+    target_value: (B, K+1) scalar n-step value targets
+    target_policy: (B, K+1, A) visit-count distributions (zeros when masked)
+    weights: (B,) IS correction weights
+    """
+
+    obs: jnp.ndarray
+    actions: jnp.ndarray
+    mask: jnp.ndarray
+    target_reward: jnp.ndarray
+    target_value: jnp.ndarray
+    target_policy: jnp.ndarray
+    weights: jnp.ndarray
+
+
+def negative_cosine_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-9)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-9)
+    return -jnp.sum(a * b, axis=-1)
+
+
+@POLICY_REGISTRY.register("muzero")
+class MuZeroPolicy:
+    """Holds the model + jitted pure functions. All state lives in
+    ``TrainState`` pytrees owned by the caller."""
+
+    @staticmethod
+    def default_config() -> Config:
+        """Key hyperparameters, reference defaults (muzero.py:37-237)."""
+        return Config(
+            dict(
+                model=dict(
+                    observation_shape=4,
+                    action_space_size=2,
+                    model_type="mlp",
+                    latent_state_dim=256,
+                    support_scale=300,
+                    categorical_distribution=True,
+                    self_supervised_learning_loss=False,
+                    norm_type="LN",
+                ),
+                batch_size=256,
+                optim_type="Adam",  # 'SGD' | 'Adam' | 'AdamW'
+                learning_rate=0.003,
+                momentum=0.9,
+                weight_decay=1e-4,
+                grad_clip_value=10.0,
+                piecewise_decay_lr_scheduler=False,
+                threshold_training_steps_for_final_lr=int(5e4),
+                num_unroll_steps=5,
+                td_steps=5,
+                discount_factor=0.997,
+                num_simulations=50,
+                root_dirichlet_alpha=0.3,
+                root_noise_weight=0.25,
+                pb_c_base=19652,
+                pb_c_init=1.25,
+                value_delta_max=0.01,
+                ssl_loss_weight=0.0,
+                policy_loss_weight=1.0,
+                value_loss_weight=0.25,
+                reward_loss_weight=1.0,
+                policy_entropy_weight=0.0,
+                target_update_freq=100,
+                use_priority=True,
+                priority_prob_alpha=0.6,
+                priority_prob_beta=0.4,
+                env_type="not_board_games",
+                battle_mode="play_with_bot_mode",
+                eval_freq=100,
+                replay_ratio=0.25,
+                n_episode=8,
+                game_segment_length=200,
+                replay_buffer_size=int(1e6),
+                collect_epsilon=0.0,
+                manual_temperature_decay=False,
+                fixed_temperature_value=1.0,
+                threshold_training_steps_for_final_temperature=int(1e5),
+                reanalyze_ratio=0.0,
+                reanalyze_noise=True,
+            )
+        )
+
+    def __init__(self, cfg: Config, model: Optional[MuZeroModel] = None):
+        self.cfg = cfg
+        scale = cfg.model.get("support_scale", 300)
+        self.value_support = DiscreteSupport(-float(scale), float(scale) + 1.0, 1.0)
+        self.reward_support = DiscreteSupport(-float(scale), float(scale) + 1.0, 1.0)
+        model_cfg = Config(dict(cfg.model))
+        model_cfg.value_support_size = self.value_support.size
+        model_cfg.reward_support_size = self.reward_support.size
+        self.model = model or MuZeroModel.from_config(model_cfg)
+        self.num_unroll_steps = cfg.num_unroll_steps
+        self.players = 2 if cfg.env_type == "board_games" else 1
+        self.search_cfg = SearchConfig(
+            num_simulations=cfg.num_simulations,
+            pb_c_base=float(cfg.pb_c_base),
+            pb_c_init=float(cfg.pb_c_init),
+            discount=float(cfg.discount_factor),
+            value_delta_max=float(cfg.value_delta_max),
+            root_dirichlet_alpha=float(cfg.root_dirichlet_alpha),
+            root_noise_weight=float(cfg.root_noise_weight),
+            players=self.players,
+        )
+        self.optimizer = self._make_optimizer()
+        # jitted entry points
+        self._jit_learn = jax.jit(self._forward_learn, donate_argnums=(0,))
+        self._jit_collect = jax.jit(self._forward_collect, static_argnames=("deterministic",))
+
+    # ------------------------------------------------------------------ init
+    def _lr_schedule(self):
+        cfg = self.cfg
+        if cfg.piecewise_decay_lr_scheduler:
+            t = int(cfg.threshold_training_steps_for_final_lr)
+            return optax.piecewise_constant_schedule(
+                float(cfg.learning_rate), {int(0.5 * t): 0.1, int(0.75 * t): 0.1}
+            )
+        return float(cfg.learning_rate)
+
+    def _make_optimizer(self):
+        cfg = self.cfg
+        lr = self._lr_schedule()
+        if cfg.optim_type == "SGD":
+            opt = optax.chain(
+                optax.add_decayed_weights(float(cfg.weight_decay)),
+                optax.sgd(lr, momentum=float(cfg.momentum)),
+            )
+        elif cfg.optim_type in ("Adam", "AdamW"):
+            opt = optax.adamw(lr, weight_decay=float(cfg.weight_decay))
+        else:
+            raise ValueError(f"unknown optim_type {cfg.optim_type}")
+        return optax.chain(optax.clip_by_global_norm(float(cfg.grad_clip_value)), opt)
+
+    def init_train_state(self, rng: jax.Array) -> TrainState:
+        params = self.model.init_params(rng)
+        return TrainState(
+            params=params,
+            # distinct buffers: the learn step donates the whole state, and
+            # XLA rejects donating aliased params/target_params twice
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=self.optimizer.init(params),
+            train_iter=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------ inference
+    def _initial(self, params, obs):
+        return self.model.apply(params, obs, method=MuZeroModel.initial_inference)
+
+    def _recurrent_fn(self, params, rng, action, embedding) -> RecurrentOutput:
+        out = self.model.apply(params, embedding, action, method=MuZeroModel.recurrent_inference)
+        return RecurrentOutput(
+            reward=inverse_scalar_transform(out.reward_logits, self.reward_support),
+            value=inverse_scalar_transform(out.value_logits, self.value_support),
+            prior_logits=out.policy_logits,
+            embedding=out.latent_state,
+        )
+
+    # ---------------------------------------------------------------- learn
+    def _loss_fn(self, params, batch: TrainBatch):
+        cfg = self.cfg
+        K = self.num_unroll_steps
+        h = scalar_transform
+        tv_cat = phi_transform(self.value_support, h(batch.target_value))  # (B,K+1,S)
+        tr_cat = phi_transform(self.reward_support, h(batch.target_reward))  # (B,K,S)
+
+        out0 = self._initial(params, batch.obs[:, 0])
+        value_logits, policy_logits, latent = (
+            out0.value_logits,
+            out0.policy_logits,
+            out0.latent_state,
+        )
+        value_loss = cross_entropy_loss(value_logits, tv_cat[:, 0])
+        policy_loss = cross_entropy_loss(policy_logits, batch.target_policy[:, 0])
+        prob = jax.nn.softmax(policy_logits, axis=-1)
+        entropy = -jnp.sum(prob * jnp.log(jnp.maximum(prob, 1e-9)), axis=-1)
+        policy_entropy_loss = -entropy
+        pred_value0 = inverse_scalar_transform(value_logits, self.value_support)
+        value_priority = jnp.abs(pred_value0 - batch.target_value[:, 0])
+
+        reward_loss = jnp.zeros_like(value_loss)
+        consistency_loss = jnp.zeros_like(value_loss)
+        ssl = cfg.model.get("self_supervised_learning_loss", False) and cfg.ssl_loss_weight > 0
+
+        for k in range(K):
+            rec = self.model.apply(
+                params, latent, batch.actions[:, k], method=MuZeroModel.recurrent_inference
+            )
+            latent = rec.latent_state
+            if ssl:
+                repr_k = self.model.apply(
+                    params, batch.obs[:, k + 1], method=MuZeroModel.representation
+                )
+                proj_dyn = self.model.apply(params, latent, True, method=MuZeroModel.project)
+                proj_obs = self.model.apply(
+                    params, jax.lax.stop_gradient(repr_k), False, method=MuZeroModel.project
+                )
+                proj_obs = jax.lax.stop_gradient(proj_obs)
+                consistency_loss = consistency_loss + negative_cosine_similarity(
+                    proj_dyn, proj_obs
+                ) * batch.mask[:, k]
+            policy_loss = policy_loss + cross_entropy_loss(
+                rec.policy_logits, batch.target_policy[:, k + 1]
+            )
+            prob = jax.nn.softmax(rec.policy_logits, axis=-1)
+            entropy = -jnp.sum(prob * jnp.log(jnp.maximum(prob, 1e-9)), axis=-1)
+            policy_entropy_loss = policy_entropy_loss - entropy
+            value_loss = value_loss + cross_entropy_loss(rec.value_logits, tv_cat[:, k + 1])
+            reward_loss = reward_loss + cross_entropy_loss(rec.reward_logits, tr_cat[:, k])
+
+        loss = (
+            cfg.ssl_loss_weight * consistency_loss
+            + cfg.policy_loss_weight * policy_loss
+            + cfg.value_loss_weight * value_loss
+            + cfg.reward_loss_weight * reward_loss
+            + cfg.policy_entropy_weight * policy_entropy_loss
+        )
+        weighted_total_loss = jnp.mean(batch.weights * loss)
+        # total-gradient rescale 1/K (reference muzero.py:584-585)
+        scaled_loss = weighted_total_loss / K
+        logs = dict(
+            total_loss=weighted_total_loss,
+            policy_loss=jnp.mean(policy_loss),
+            value_loss=jnp.mean(value_loss),
+            reward_loss=jnp.mean(reward_loss),
+            consistency_loss=jnp.mean(consistency_loss),
+            policy_entropy=jnp.mean(entropy),
+            predicted_value=jnp.mean(pred_value0),
+            target_value=jnp.mean(batch.target_value[:, 0]),
+        )
+        return scaled_loss, (logs, value_priority)
+
+    def _forward_learn(self, state: TrainState, batch: TrainBatch):
+        (_, (logs, value_priority)), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        train_iter = state.train_iter + 1
+        target_params = optax.periodic_update(
+            params, state.target_params, train_iter, self.cfg.target_update_freq
+        )
+        logs["grad_norm"] = optax.global_norm(grads)
+        logs["cur_lr"] = (
+            self._lr_schedule()(state.train_iter)
+            if callable(self._lr_schedule())
+            else jnp.asarray(self.cfg.learning_rate)
+        )
+        return (
+            TrainState(params, target_params, opt_state, train_iter),
+            logs,
+            value_priority,
+        )
+
+    def forward_learn(self, state: TrainState, batch: TrainBatch):
+        state, logs, priority = self._jit_learn(state, batch)
+        return state, logs, priority
+
+    # -------------------------------------------------------------- collect
+    def _forward_collect(
+        self,
+        params,
+        rng: jax.Array,
+        obs: jnp.ndarray,
+        legal_mask: jnp.ndarray,
+        to_play: jnp.ndarray,
+        temperature: jnp.ndarray,
+        epsilon: jnp.ndarray,
+        deterministic: bool = False,
+    ):
+        out0 = self._initial(params, obs)
+        pred_value = inverse_scalar_transform(out0.value_logits, self.value_support)
+        root = RootOutput(
+            prior_logits=out0.policy_logits, value=pred_value, embedding=out0.latent_state
+        )
+        rng, s_rng, a_rng, e_rng, u_rng = jax.random.split(rng, 5)
+        search_out = batch_puct_search(
+            params,
+            s_rng,
+            root,
+            self._recurrent_fn,
+            self.search_cfg,
+            legal_mask,
+            to_play=to_play,
+            with_noise=not deterministic,
+        )
+        actions, dist_entropy = sample_from_visit_counts(
+            a_rng, search_out.visit_counts, temperature, deterministic=deterministic
+        )
+        # epsilon-greedy over legal actions (collect_epsilon, muzero.py:772)
+        B, A = legal_mask.shape
+        rand_action = jax.random.categorical(
+            u_rng, jnp.where(legal_mask, 0.0, -jnp.inf), axis=-1
+        )
+        explore = jax.random.uniform(e_rng, (B,)) < epsilon
+        actions = jnp.where(explore & ~jnp.asarray(deterministic), rand_action, actions)
+        return dict(
+            action=actions,
+            visit_counts=search_out.visit_counts,
+            searched_value=search_out.root_value,
+            predicted_value=pred_value,
+            policy_logits=out0.policy_logits,
+            distribution_entropy=dist_entropy,
+        )
+
+    def forward_collect(
+        self, params, rng, obs, legal_mask, to_play=None, temperature=1.0, epsilon=0.0
+    ) -> Dict[str, jnp.ndarray]:
+        B = obs.shape[0]
+        if to_play is None:
+            to_play = jnp.full((B,), -1, jnp.int32)
+        return self._jit_collect(
+            params,
+            rng,
+            obs,
+            legal_mask,
+            to_play,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(epsilon, jnp.float32),
+            deterministic=False,
+        )
+
+    def forward_eval(self, params, rng, obs, legal_mask, to_play=None) -> Dict[str, jnp.ndarray]:
+        B = obs.shape[0]
+        if to_play is None:
+            to_play = jnp.full((B,), -1, jnp.int32)
+        return self._jit_collect(
+            params,
+            rng,
+            obs,
+            legal_mask,
+            to_play,
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            deterministic=True,
+        )

@@ -1,0 +1,193 @@
+"""Self-play collector over pure-JAX envs.
+
+TPU-native replacement for reference MuZeroCollector
+(lzero/worker/muzero_collector.py:308): instead of a subprocess vec-env and
+a per-step host↔device↔C++ loop, a whole rollout chunk
+[initial_inference → fused MCTS → action sample → env step → auto-reset]
+runs as ONE jitted lax.scan; the host only slices the resulting trajectory
+arrays into finished episodes for the buffer.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.buffers.game_buffer import EpisodeRecord
+from lightzero_tpu.envs.base import JaxEnv
+
+
+class _EpisodeBuilder:
+    """Accumulates per-env step records across rollout chunks."""
+
+    def __init__(self):
+        self.obs: List[np.ndarray] = []
+        self.actions: List[int] = []
+        self.rewards: List[float] = []
+        self.child_visits: List[np.ndarray] = []
+        self.root_values: List[float] = []
+        self.legal: List[np.ndarray] = []
+        self.to_play: List[int] = []
+        self.priorities: List[float] = []
+
+    def append(self, obs, action, reward, visits, root_value, legal, to_play, priority):
+        self.obs.append(obs)
+        self.actions.append(action)
+        self.rewards.append(reward)
+        self.child_visits.append(visits)
+        self.root_values.append(root_value)
+        self.legal.append(legal)
+        self.to_play.append(to_play)
+        self.priorities.append(priority)
+
+    def __len__(self):
+        return len(self.actions)
+
+    def finish(self, truncated: bool) -> Tuple[EpisodeRecord, np.ndarray]:
+        visits = np.asarray(self.child_visits, np.float32)
+        sums = visits.sum(-1, keepdims=True)
+        ep = EpisodeRecord(
+            obs=np.asarray(self.obs, np.float32),
+            actions=np.asarray(self.actions, np.int64),
+            rewards=np.asarray(self.rewards, np.float32),
+            child_visits=visits / np.maximum(sums, 1e-9),
+            root_values=np.asarray(self.root_values, np.float32),
+            legal_mask=np.asarray(self.legal, bool),
+            to_play=np.asarray(self.to_play, np.int64),
+            truncated=truncated,
+        )
+        return ep, np.asarray(self.priorities, np.float64)
+
+
+class RolloutCollector:
+    def __init__(
+        self,
+        env: JaxEnv,
+        policy,
+        num_envs: int,
+        rollout_length: int = 64,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.env = env
+        self.policy = policy
+        self.num_envs = num_envs
+        self.rollout_length = rollout_length
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._builders = [_EpisodeBuilder() for _ in range(num_envs)]
+        self.total_env_steps = 0
+        self.total_episodes = 0
+        self.episode_returns: List[float] = []
+        self._env_return = np.zeros(num_envs)
+        self._state = None
+        self._jit_rollout = jax.jit(self._rollout)
+        self._jit_reset = jax.jit(self._reset_all)
+
+    def _reset_all(self, rng):
+        rngs = jax.random.split(rng, self.num_envs)
+        state, obs = jax.vmap(self.env.reset)(rngs)
+        legal = jax.vmap(self.env.legal_mask)(state)
+        to_play = jnp.full((self.num_envs,), -1, jnp.int32)
+        return state, obs, legal, to_play
+
+    def _rollout(self, params, carry, rng, temperature, epsilon):
+        """lax.scan of rollout_length fused search+env steps."""
+
+        def one_step(c, step_rng):
+            env_state, obs, legal, to_play = c
+            p_rng, e_rng = jax.random.split(step_rng)
+            out = self.policy._forward_collect(
+                params, p_rng, obs, legal, to_play, temperature, epsilon, deterministic=False
+            )
+            step_rngs = jax.random.split(e_rng, self.num_envs)
+            step = jax.vmap(self.env.step)(env_state, out["action"], step_rngs)
+            record = dict(
+                obs=obs,
+                legal=legal,
+                to_play=to_play,
+                action=out["action"],
+                reward=step.reward,
+                done=step.done,
+                visit_counts=out["visit_counts"],
+                searched_value=out["searched_value"],
+                predicted_value=out["predicted_value"],
+            )
+            return (step.state, step.obs, step.legal_mask, step.to_play), record
+
+        rngs = jax.random.split(rng, self.rollout_length)
+        carry, records = jax.lax.scan(one_step, carry, rngs)
+        return carry, records
+
+    def collect(
+        self,
+        params,
+        temperature: float = 1.0,
+        epsilon: float = 0.0,
+        num_episodes: Optional[int] = None,
+        min_steps: Optional[int] = None,
+    ) -> Tuple[List[EpisodeRecord], List[np.ndarray], Dict]:
+        """Collect until ``num_episodes`` episodes finished (or ``min_steps``
+        env steps taken). Returns (episodes, priorities, stats)."""
+        t0 = time.time()
+        if self._state is None:
+            self.rng, r = jax.random.split(self.rng)
+            self._state = self._jit_reset(r)
+        episodes: List[EpisodeRecord] = []
+        priorities: List[np.ndarray] = []
+        steps_taken = 0
+        while True:
+            self.rng, r = jax.random.split(self.rng)
+            self._state, records = self._jit_rollout(
+                params,
+                self._state,
+                r,
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(epsilon, jnp.float32),
+            )
+            records = jax.tree_util.tree_map(np.asarray, records)
+            T = self.rollout_length
+            steps_taken += T * self.num_envs
+            self.total_env_steps += T * self.num_envs
+            pri = np.abs(records["predicted_value"] - records["searched_value"])
+            for t in range(T):
+                for e in range(self.num_envs):
+                    b = self._builders[e]
+                    b.append(
+                        records["obs"][t, e],
+                        int(records["action"][t, e]),
+                        float(records["reward"][t, e]),
+                        records["visit_counts"][t, e],
+                        float(records["searched_value"][t, e]),
+                        records["legal"][t, e],
+                        int(records["to_play"][t, e]),
+                        float(pri[t, e]),
+                    )
+                    self._env_return[e] += float(records["reward"][t, e])
+                    if records["done"][t, e]:
+                        ep, p = b.finish(truncated=False)
+                        episodes.append(ep)
+                        priorities.append(p)
+                        self.episode_returns.append(self._env_return[e])
+                        self._env_return[e] = 0.0
+                        self.total_episodes += 1
+                        self._builders[e] = _EpisodeBuilder()
+            if num_episodes is not None and len(episodes) >= num_episodes:
+                break
+            if min_steps is not None and steps_taken >= min_steps:
+                # flush sufficiently long partial episodes as truncated so
+                # training can start before the first natural episode end
+                break
+            if num_episodes is None and min_steps is None:
+                break
+        stats = dict(
+            steps=steps_taken,
+            episodes=len(episodes),
+            duration=time.time() - t0,
+            steps_per_sec=steps_taken / max(time.time() - t0, 1e-9),
+            mean_return=(float(np.mean([r for r in self.episode_returns[-20:]]))
+                         if self.episode_returns else 0.0),
+        )
+        return episodes, priorities, stats

@@ -1,0 +1,96 @@
+"""Deterministic evaluator (reference MuZeroEvaluator,
+lzero/worker/muzero_evaluator.py:193): n episodes with argmax action
+selection and no root noise; tracks best return for checkpointing."""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.envs.base import JaxEnv
+
+
+class Evaluator:
+    def __init__(
+        self,
+        env: JaxEnv,
+        policy,
+        num_envs: int = 3,
+        rollout_length: int = 64,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.env = env
+        self.policy = policy
+        self.num_envs = num_envs
+        self.rollout_length = rollout_length
+        self.rng = rng if rng is not None else jax.random.PRNGKey(1234)
+        self.best_return = -np.inf
+        self._jit_rollout = jax.jit(self._rollout)
+        self._jit_reset = jax.jit(self._reset_all)
+
+    def _reset_all(self, rng):
+        rngs = jax.random.split(rng, self.num_envs)
+        state, obs = jax.vmap(self.env.reset)(rngs)
+        legal = jax.vmap(self.env.legal_mask)(state)
+        to_play = jnp.full((self.num_envs,), -1, jnp.int32)
+        return state, obs, legal, to_play
+
+    def _rollout(self, params, carry, rng):
+        def one_step(c, step_rng):
+            env_state, obs, legal, to_play = c
+            p_rng, e_rng = jax.random.split(step_rng)
+            out = self.policy._forward_collect(
+                params,
+                p_rng,
+                obs,
+                legal,
+                to_play,
+                jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+                deterministic=True,
+            )
+            step_rngs = jax.random.split(e_rng, self.num_envs)
+            step = jax.vmap(self.env.step)(env_state, out["action"], step_rngs)
+            return (step.state, step.obs, step.legal_mask, step.to_play), dict(
+                reward=step.reward, done=step.done
+            )
+
+        rngs = jax.random.split(rng, self.rollout_length)
+        return jax.lax.scan(one_step, carry, rngs)
+
+    def eval(self, params, n_episodes: Optional[int] = None, max_steps: int = 10_000) -> Dict:
+        """Run until each env finishes >= 1 episode (>= n_episodes total)."""
+        t0 = time.time()
+        n_episodes = n_episodes or self.num_envs
+        self.rng, r = jax.random.split(self.rng)
+        carry = self._jit_reset(r)
+        returns = []
+        acc = np.zeros(self.num_envs)
+        steps = 0
+        while len(returns) < n_episodes and steps < max_steps:
+            self.rng, r = jax.random.split(self.rng)
+            carry, rec = self._jit_rollout(params, carry, r)
+            rec = jax.tree_util.tree_map(np.asarray, rec)
+            for t in range(self.rollout_length):
+                steps += 1
+                for e in range(self.num_envs):
+                    acc[e] += rec["reward"][t, e]
+                    if rec["done"][t, e]:
+                        returns.append(acc[e])
+                        acc[e] = 0.0
+        mean_ret = float(np.mean(returns)) if returns else 0.0
+        new_best = mean_ret > self.best_return
+        if new_best:
+            self.best_return = mean_ret
+        return dict(
+            episode_returns=returns,
+            mean_return=mean_ret,
+            max_return=float(np.max(returns)) if returns else 0.0,
+            min_return=float(np.min(returns)) if returns else 0.0,
+            new_best=new_best,
+            duration=time.time() - t0,
+        )

@@ -2,12 +2,19 @@
 exercised without real multi-chip hardware (SURVEY.md §4 implication)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU harness pins JAX_PLATFORMS=axon and ignores the env override,
+# so force the platform through the config API (must run before any backend
+# initialization).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -1,2 +1,3 @@
 from lightzero_tpu.envs.base import JaxEnv, EnvStep
 from lightzero_tpu.envs import cartpole  # registers 'cartpole'
+from lightzero_tpu.envs.board import tictactoe  # registers 'tictactoe'

@@ -167,12 +167,9 @@ class GameBuffer:
 
     def _bootstrap_values(self, target_params, obs: jnp.ndarray) -> jnp.ndarray:
         """(M, *obs) → (M,) target-net root values (fresh initial_inference,
-        game_buffer_muzero.py:496)."""
-        from lightzero_tpu.models import MuZeroModel
-        from lightzero_tpu.ops import inverse_scalar_transform
-
-        out = self.policy.model.apply(target_params, obs, method=MuZeroModel.initial_inference)
-        return inverse_scalar_transform(out.value_logits, self.policy.value_support)
+        game_buffer_muzero.py:496). Delegates to the policy so algorithm
+        variants (EfficientZero LSTM model etc.) supply their own head."""
+        return self.policy._bootstrap_value_fn(target_params, obs)
 
     def _make_batch(self, idx: np.ndarray, target_params, weights: np.ndarray) -> TrainBatch:
         K, td, gamma = self.K, self.td_steps, self.discount

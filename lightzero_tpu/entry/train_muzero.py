@@ -19,8 +19,10 @@ import jax
 from lightzero_tpu.buffers import GameBuffer
 from lightzero_tpu.config import Config, compile_config
 from lightzero_tpu.ops import visit_count_temperature
+import lightzero_tpu.envs  # noqa: F401  (populates ENV_REGISTRY)
 from lightzero_tpu.policy import MuZeroPolicy
-from lightzero_tpu.utils import ENV_REGISTRY
+from lightzero_tpu.policy.efficientzero import EfficientZeroPolicy  # noqa: F401
+from lightzero_tpu.utils import ENV_REGISTRY, POLICY_REGISTRY
 from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
@@ -52,13 +54,17 @@ def train_muzero(
 ):
     if isinstance(cfg, (list, tuple)):  # reference passes [main, create]
         cfg = cfg[0]
-    cfg = compile_config(cfg, MuZeroPolicy.default_config(), seed)
+    # dispatch on cfg.policy.type (reference: ding create_policy registry,
+    # train_muzero.py:94) — same entry serves muzero/efficientzero/...
+    policy_type = Config(cfg).get("policy", {}).get("type", "muzero")
+    policy_cls = POLICY_REGISTRY.get(policy_type)
+    cfg = compile_config(cfg, policy_cls.default_config(), seed)
     pcfg = cfg.policy
     pcfg.seed = seed
 
     rng = jax.random.PRNGKey(seed)
     env = create_env(cfg.env)
-    policy = MuZeroPolicy(pcfg)
+    policy = policy_cls(pcfg)
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)
     if model_path:
@@ -165,9 +171,11 @@ def eval_muzero(cfg, seed: int = 0, model_path: Optional[str] = None, n_episodes
     lzero/entry/eval_muzero.py)."""
     if isinstance(cfg, (list, tuple)):
         cfg = cfg[0]
-    cfg = compile_config(cfg, MuZeroPolicy.default_config(), seed, save_cfg=False)
+    policy_type = Config(cfg).get("policy", {}).get("type", "muzero")
+    policy_cls = POLICY_REGISTRY.get(policy_type)
+    cfg = compile_config(cfg, policy_cls.default_config(), seed, save_cfg=False)
     env = create_env(cfg.env)
-    policy = MuZeroPolicy(cfg.policy)
+    policy = policy_cls(cfg.policy)
     state = policy.init_train_state(jax.random.PRNGKey(seed))
     if model_path:
         state = load_checkpoint(model_path, target=state)

@@ -86,6 +86,7 @@ class MuZeroPolicy:
         """Key hyperparameters, reference defaults (muzero.py:37-237)."""
         return Config(
             dict(
+                type="muzero",
                 model=dict(
                     observation_shape=4,
                     action_space_size=2,
@@ -202,6 +203,11 @@ class MuZeroPolicy:
     # ------------------------------------------------------------ inference
     def _initial(self, params, obs):
         return self.model.apply(params, obs, method=MuZeroModel.initial_inference)
+
+    def _bootstrap_value_fn(self, target_params, obs):
+        """Fresh target-net root value for buffer bootstrap targets."""
+        out = self._initial(target_params, obs)
+        return inverse_scalar_transform(out.value_logits, self.value_support)
 
     def _recurrent_fn(self, params, rng, action, embedding) -> RecurrentOutput:
         out = self.model.apply(params, embedding, action, method=MuZeroModel.recurrent_inference)

@@ -226,6 +226,7 @@ def _expand_and_backup(
     st: _TraverseState,
     sim: jnp.ndarray,
     out: RecurrentOutput,
+    prior_is_logits: bool = False,
 ) -> Tree:
     """Expand the leaves (node index sim+1) and back the values up the paths
     (batch_backpropagate, ptree_mz.py:565-602)."""
@@ -244,9 +245,13 @@ def _expand_and_backup(
 
     # --- expand (Node.expand, ptree_mz.py:46-69) ---
     logits = out.prior_logits.astype(dtype)
-    masked_logits = jnp.where(legal_mask, logits, -jnp.inf)
-    prior = jax.nn.softmax(masked_logits, axis=-1)
-    prior = jnp.where(legal_mask, prior, 0.0)
+    if prior_is_logits:
+        # gumbel trees store raw logits as priors (softmaxed on the fly)
+        prior = jnp.where(legal_mask, logits, -1e9)
+    else:
+        masked_logits = jnp.where(legal_mask, logits, -jnp.inf)
+        prior = jax.nn.softmax(masked_logits, axis=-1)
+        prior = jnp.where(legal_mask, prior, 0.0)
 
     exp_b = do_expand
     children = tree.children.at[bidx, st.parent, st.last_action].set(
@@ -260,6 +265,9 @@ def _expand_and_backup(
     )
     reward_arr = tree.reward.at[bidx, new_idx].set(
         jnp.where(exp_b, out.reward.astype(dtype), tree.reward[bidx, new_idx])
+    )
+    raw_value_arr = tree.raw_value.at[bidx, new_idx].set(
+        jnp.where(exp_b, out.value.astype(dtype), tree.raw_value[bidx, new_idx])
     )
     to_play_arr = tree.to_play.at[bidx, new_idx].set(
         jnp.where(exp_b, st.virtual_to_play, tree.to_play[bidx, new_idx])
@@ -280,6 +288,7 @@ def _expand_and_backup(
         prior=prior_arr,
         legal=legal_arr,
         reward=reward_arr,
+        raw_value=raw_value_arr,
         to_play=to_play_arr,
         terminal=terminal_arr,
         embedding=embedding,
@@ -370,6 +379,7 @@ def prepare_roots(
         prior=tree.prior.at[:, 0].set(prior),
         legal=tree.legal.at[:, 0].set(legal_mask),
         visit_count=tree.visit_count.at[:, 0].set(1),
+        raw_value=tree.raw_value.at[:, 0].set(root.value.astype(dtype)),
         to_play=tree.to_play.at[:, 0].set(to_play.astype(jnp.int32)),
         embedding=jax.tree_util.tree_map(set_root_embedding, tree.embedding, root.embedding),
     )

@@ -24,6 +24,7 @@ class Tree(NamedTuple):
     visit_count: jnp.ndarray  # (B, N) int32
     value_sum: jnp.ndarray  # (B, N) f32
     reward: jnp.ndarray  # (B, N) f32 (value_prefix for EfficientZero)
+    raw_value: jnp.ndarray  # (B, N) f32 network value at expansion (Gumbel mixed-value)
     prior: jnp.ndarray  # (B, N, A) f32 children priors
     children: jnp.ndarray  # (B, N, A) int32 child node index, -1 = virtual
     to_play: jnp.ndarray  # (B, N) int32 player at node (-1 = 1p mode)
@@ -85,6 +86,7 @@ def init_tree(
         visit_count=jnp.zeros((B, N), jnp.int32),
         value_sum=jnp.zeros((B, N), dtype),
         reward=jnp.zeros((B, N), dtype),
+        raw_value=jnp.zeros((B, N), dtype),
         prior=jnp.zeros((B, N, A), dtype),
         children=jnp.full((B, N, A), UNVISITED, jnp.int32),
         to_play=jnp.full((B, N), -1, jnp.int32),

@@ -40,6 +40,10 @@ class EpisodeRecord(NamedTuple):
     legal_mask: np.ndarray  # (T, A)
     to_play: np.ndarray  # (T,)
     truncated: bool = False  # episode cut by collection end (not terminal)
+    chance: Optional[np.ndarray] = None  # (T,) true chance codes (2048 etc.)
+    # (T, Ks, D) root sampled action vectors (Sampled MuZero/EZ;
+    # reference root_sampled_actions, muzero_collector.py:446)
+    root_sampled_actions: Optional[np.ndarray] = None
 
 
 @BUFFER_REGISTRY.register("game_buffer_muzero")
@@ -178,7 +182,15 @@ class GameBuffer:
         A = self._episodes[0].child_visits.shape[1]
 
         obs = np.zeros((B, K + 1) + obs_shape, np.float32)
-        actions = np.zeros((B, K), np.int64)
+        chance = np.zeros((B, K), np.int64)
+        act0 = self._episodes[0].actions
+        continuous = act0.dtype.kind == "f" or act0.ndim > 1
+        act_shape = act0.shape[1:] if act0.ndim > 1 else ()
+        actions = np.zeros((B, K) + act_shape, np.float32 if continuous else np.int64)
+        rsa0 = self._episodes[0].root_sampled_actions
+        sampled_actions = (
+            np.zeros((B, K + 1) + rsa0.shape[1:], np.float32) if rsa0 is not None else None
+        )
         mask = np.zeros((B, K), np.float32)
         target_reward = np.zeros((B, K), np.float32)
         reward_sum = np.zeros((B, K + 1), np.float32)
@@ -200,6 +212,8 @@ class GameBuffer:
                     s = cv.sum()
                     if s > 0:
                         target_policy[b, k] = cv / s
+                    if sampled_actions is not None:
+                        sampled_actions[b, k] = ep.root_sampled_actions[t]
                 # n-step value target pieces (1p; board games use discount=1
                 # and winner-perspective values handled upstream)
                 if t < T:
@@ -219,22 +233,73 @@ class GameBuffer:
                 if t < T:
                     actions[b, k] = ep.actions[t]
                     target_reward[b, k] = ep.rewards[t]
+                    if ep.chance is not None:
+                        chance[b, k] = ep.chance[t]
                     if t + 1 < T:
                         mask[b, k] = 1.0
                 else:
-                    actions[b, k] = self._rng.randint(0, A)
+                    if continuous:
+                        actions[b, k] = self._rng.uniform(-1, 1, size=act_shape)
+                    else:
+                        actions[b, k] = self._rng.randint(0, A)
 
         boot_v = np.asarray(
             self._jit_bootstrap(target_params, jnp.asarray(boot_obs.reshape((B * (K + 1),) + obs_shape)))
         ).reshape(B, K + 1)
         target_value = reward_sum + boot_discount * boot_v * boot_valid
 
-        return TrainBatch(
+        # --- reanalyze: fresh MCTS policy targets for the first
+        # ceil(B*ratio) samples (reference reanalyze_ratio mixing,
+        # game_buffer_muzero.py:179-190) ---
+        n_re = int(np.ceil(B * self.reanalyze_ratio)) if self.reanalyze_ratio > 0 else 0
+        if n_re > 0:
+            re_obs = np.zeros((n_re, K + 1) + obs_shape, np.float32)
+            re_legal = np.zeros((n_re, K + 1, A), bool)
+            re_to_play = np.full((n_re, K + 1), -1, np.int64)
+            re_valid = np.zeros((n_re, K + 1), np.float32)
+            for b in range(n_re):
+                e = self._flat_ep[idx[b]]
+                pos = int(self._flat_pos[idx[b]])
+                ep = self._episodes[e]
+                T = len(ep.actions)
+                for k in range(K + 1):
+                    t = pos + k
+                    if t < T:
+                        re_obs[b, k] = self._stacked_obs(ep, t)
+                        re_legal[b, k] = ep.legal_mask[t]
+                        re_to_play[b, k] = ep.to_play[t]
+                        re_valid[b, k] = 1.0
+                    else:
+                        re_legal[b, k, :] = True  # avoid empty-legal search
+            M = n_re * (K + 1)
+            self._re_rng, r = (
+                jax.random.split(self._re_rng)
+                if hasattr(self, "_re_rng")
+                else jax.random.split(jax.random.PRNGKey(int(self._rng.randint(1 << 30))))
+            )
+            fresh_policy, _ = self.policy.forward_reanalyze(
+                target_params,
+                r,
+                jnp.asarray(re_obs.reshape((M,) + obs_shape)),
+                jnp.asarray(re_legal.reshape(M, A)),
+                jnp.asarray(re_to_play.reshape(M), jnp.int32),
+            )
+            self._re_rng = r
+            fresh_policy = np.asarray(fresh_policy).reshape(n_re, K + 1, A)
+            target_policy[:n_re] = fresh_policy * re_valid[..., None]
+
+        batch = TrainBatch(
             obs=jnp.asarray(obs),
-            actions=jnp.asarray(actions, jnp.int32),
+            actions=jnp.asarray(actions, jnp.float32 if continuous else jnp.int32),
             mask=jnp.asarray(mask),
             target_reward=jnp.asarray(target_reward),
             target_value=jnp.asarray(target_value.astype(np.float32)),
             target_policy=jnp.asarray(target_policy),
             weights=jnp.asarray(weights),
+            chance=jnp.asarray(chance, jnp.int32),
         )
+        if sampled_actions is not None:
+            from lightzero_tpu.policy.sampled_muzero import SampledTrainBatch
+
+            return SampledTrainBatch(base=batch, sampled_actions=jnp.asarray(sampled_actions))
+        return batch

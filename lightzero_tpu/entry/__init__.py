@@ -1,1 +1,9 @@
 from lightzero_tpu.entry.train_muzero import train_muzero, eval_muzero
+
+# UniZero shares the same loop via policy-type dispatch (reference keeps a
+# separate train_unizero entry, lzero/entry/train_unizero.py; here the type
+# field selects the policy so one entry serves both)
+train_unizero = train_muzero
+eval_unizero = eval_muzero
+
+from lightzero_tpu.entry.train_alphazero import train_alphazero

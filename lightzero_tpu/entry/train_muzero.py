@@ -22,6 +22,10 @@ from lightzero_tpu.ops import visit_count_temperature
 import lightzero_tpu.envs  # noqa: F401  (populates ENV_REGISTRY)
 from lightzero_tpu.policy import MuZeroPolicy
 from lightzero_tpu.policy.efficientzero import EfficientZeroPolicy  # noqa: F401
+from lightzero_tpu.policy.gumbel_muzero import GumbelMuZeroPolicy  # noqa: F401
+from lightzero_tpu.policy.stochastic_muzero import StochasticMuZeroPolicy  # noqa: F401
+from lightzero_tpu.policy.sampled_muzero import SampledMuZeroPolicy  # noqa: F401
+from lightzero_tpu.policy.unizero import UniZeroPolicy  # noqa: F401
 from lightzero_tpu.utils import ENV_REGISTRY, POLICY_REGISTRY
 from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
@@ -31,6 +35,7 @@ from lightzero_tpu.workers import Evaluator, RolloutCollector
 ENV_ALIASES = {
     "CartPole-v0": ("cartpole", {}),
     "CartPole-v1": ("cartpole", {"max_episode_steps": 500}),
+    "Pendulum-v1": ("pendulum", {}),
 }
 
 

@@ -21,6 +21,10 @@ class EnvStep(NamedTuple):
     done: jnp.ndarray  # bool episode termination (before auto-reset)
     legal_mask: jnp.ndarray  # (A,) legal actions of the NEW state
     to_play: jnp.ndarray  # player at the NEW state (-1 for 1p)
+    # true chance-outcome code of this transition (stochastic envs like
+    # 2048; used by Stochastic MuZero's use_true_chance_label path). 0 for
+    # deterministic envs.
+    chance: jnp.ndarray = jnp.int32(0)
 
 
 class JaxEnv:

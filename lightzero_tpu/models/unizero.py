@@ -1,0 +1,191 @@
+"""UniZero model (flax): tokenizer + transformer world model.
+
+Capability-parity rebuild of reference lzero/model/unizero_model.py +
+unizero_world_models/world_model.py: interleaved (obs, action) token
+sequence — 2 tokens per env step (atari_unizero_config.py:61) — with heads
+sliced per token position (slicer.py): value/policy read at obs-token
+positions, reward/next-obs-embedding at action-token positions
+(compute_loss, world_model.py:1852-2481). The reference's per-env
+python-dict KV-cache pools keyed by latent state
+(retrieve_or_generate_kvcache :1758, trim_and_pad :1506, update_cache
+:1559, pos-emb-diff :826) are replaced by the fixed-shape RoPE ring-buffer
+cache in transformer.py, carried through jit — including per-node copies
+inside the fused search.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.models.common import MLPTorso, RepresentationNetworkConv, SimNorm
+from lightzero_tpu.models.unizero_world_model.transformer import (
+    KVCache,
+    Transformer,
+    TransformerConfig,
+    init_kv_cache,
+)
+
+
+class UniZeroModel(nn.Module):
+    observation_shape: Any = 4
+    action_space_size: int = 2
+    obs_type: str = "vector"  # 'vector' | 'image'
+    embed_dim: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    max_tokens: int = 32  # ring-buffer capacity = 2 * context steps
+    value_support_size: int = 601
+    reward_support_size: int = 601
+    norm_type: str = "LN"
+    last_linear_layer_init_zero: bool = True
+    simnorm_dim: int = 8
+    # conv encoder (image obs)
+    num_channels: int = 64
+    downsample: bool = True
+
+    def setup(self):
+        D = self.embed_dim
+        self.tcfg = TransformerConfig(
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            embed_dim=D,
+            max_tokens=self.max_tokens,
+        )
+        if self.obs_type == "vector":
+            self._enc = MLPTorso(
+                hidden_sizes=(D,),
+                output_size=D,
+                norm_type=self.norm_type,
+                output_norm=True,
+            )
+        else:
+            self._enc_conv = RepresentationNetworkConv(
+                num_channels=self.num_channels, downsample=self.downsample, norm_type=self.norm_type
+            )
+            self._enc_proj = nn.Dense(D)
+        self._simnorm = SimNorm(self.simnorm_dim)
+        self._act_embed = nn.Embed(self.action_space_size, D)
+        self._wm = Transformer(self.tcfg)
+        head = lambda out: MLPTorso(
+            hidden_sizes=(D,),
+            output_size=out,
+            norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+        )
+        self._value_head = head(self.value_support_size)
+        self._policy_head = head(self.action_space_size)
+        self._reward_head = head(self.reward_support_size)
+        self._obs_head = MLPTorso(
+            hidden_sizes=(D,), output_size=D, norm_type=self.norm_type
+        )
+
+    # ------------------------------------------------------------ tokenizer
+    def encode_obs(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """(B, *obs) → (B, D) SimNorm'd embedding (reference Tokenizer
+        encode_to_obs_embeddings, tokenizer.py:66; SimNorm common.py:145)."""
+        if self.obs_type == "vector":
+            e = self._enc(obs)
+        else:
+            e = self._enc_conv(obs)
+            e = self._enc_proj(e.reshape(e.shape[0], -1))
+        return self._simnorm(e)
+
+    # ------------------------------------------------------- train forward
+    def train_forward(self, obs_seq: jnp.ndarray, actions: jnp.ndarray):
+        """obs_seq (B, K+1, *obs), actions (B, K) →
+        dict of per-step head outputs (value/policy at obs positions 0..K,
+        reward/obs_pred at action positions 0..K-1) + the target obs
+        embeddings."""
+        B, K1 = obs_seq.shape[:2]
+        K = K1 - 1
+        obs_e = jax.vmap(self.encode_obs, in_axes=1, out_axes=1)(obs_seq)  # (B, K+1, D)
+        act_e = self._act_embed(actions)  # (B, K, D)
+        # interleave [o_0, a_0, o_1, a_1, ..., o_K] -> 2K+1 tokens
+        D = obs_e.shape[-1]
+        tokens = jnp.zeros((B, 2 * K + 1, D), obs_e.dtype)
+        tokens = tokens.at[:, 0::2].set(obs_e)
+        tokens = tokens.at[:, 1::2].set(act_e)
+        pos = jnp.broadcast_to(jnp.arange(2 * K + 1), (B, 2 * K + 1))
+        x, _ = self._wm(tokens, pos, None)
+        obs_positions = x[:, 0::2]  # (B, K+1, D)
+        act_positions = x[:, 1::2]  # (B, K, D)
+        return dict(
+            value_logits=self._value_head(obs_positions),  # (B, K+1, S)
+            policy_logits=self._policy_head(obs_positions),  # (B, K+1, A)
+            reward_logits=self._reward_head(act_positions),  # (B, K, S)
+            obs_pred=self._simnorm(self._obs_head(act_positions)),  # (B, K, D)
+            obs_embeddings=obs_e,  # (B, K+1, D)
+        )
+
+    # --------------------------------------------------------- infer steps
+    def infer_obs_step(self, cache: KVCache, obs_embedding: jnp.ndarray):
+        """Append the obs token; heads at it → (value, policy). Equivalent
+        of forward_initial_inference (world_model.py:1394)."""
+        x = obs_embedding[:, None, :]
+        pos = cache.next_pos[:, None]
+        out, cache = self._wm(x, pos, cache)
+        h = out[:, 0]
+        return dict(
+            value_logits=self._value_head(h),
+            policy_logits=self._policy_head(h),
+            latent=h,
+        ), cache
+
+    def infer_action_step(self, cache: KVCache, action: jnp.ndarray):
+        """Append the action token; heads at it → (reward, predicted next
+        obs embedding). Equivalent of forward_recurrent_inference's first
+        half (world_model.py:1420)."""
+        x = self._act_embed(action)[:, None, :]
+        pos = cache.next_pos[:, None]
+        out, cache = self._wm(x, pos, cache)
+        h = out[:, 0]
+        return dict(
+            reward_logits=self._reward_head(h),
+            obs_pred=self._simnorm(self._obs_head(h)),
+        ), cache
+
+    def init_cache(self, batch_size: int) -> KVCache:
+        return init_kv_cache(self.tcfg, batch_size)
+
+    def __call__(self, obs_seq, actions):
+        out = self.train_forward(obs_seq, actions)
+        cache = self.init_cache(obs_seq.shape[0])
+        o, cache = self.infer_obs_step(cache, out["obs_embeddings"][:, 0])
+        a, cache = self.infer_action_step(cache, actions[:, 0])
+        return out
+
+    def init_params(self, rng: jax.Array, batch_size: int = 1, K: int = 2):
+        if self.obs_type == "vector":
+            obs = jnp.zeros((batch_size, K + 1, int(self.observation_shape)), jnp.float32)
+        else:
+            obs = jnp.zeros((batch_size, K + 1) + tuple(self.observation_shape), jnp.float32)
+        return self.init(rng, obs, jnp.zeros((batch_size, K), jnp.int32))
+
+    @staticmethod
+    def from_config(model_cfg) -> "UniZeroModel":
+        obs_shape = model_cfg.get("observation_shape", 4)
+        if isinstance(obs_shape, (list, tuple)):
+            obs_shape = tuple(obs_shape)
+            obs_type = "image"
+        else:
+            obs_type = "vector"
+        wm = model_cfg.get("world_model_cfg", {})
+        kwargs = dict(
+            observation_shape=obs_shape,
+            action_space_size=model_cfg.get("action_space_size", 2),
+            obs_type=model_cfg.get("obs_type", obs_type),
+            embed_dim=wm.get("embed_dim", model_cfg.get("embed_dim", 256)),
+            num_layers=wm.get("num_layers", model_cfg.get("num_layers", 2)),
+            num_heads=wm.get("num_heads", model_cfg.get("num_heads", 8)),
+            max_tokens=wm.get("max_tokens", model_cfg.get("max_tokens", 32)),
+            norm_type=model_cfg.get("norm_type", "LN"),
+            num_channels=model_cfg.get("num_channels", 64),
+            downsample=model_cfg.get("downsample", True),
+        )
+        for k in ("value_support_size", "reward_support_size"):
+            if k in model_cfg:
+                kwargs[k] = model_cfg[k]
+        return UniZeroModel(**kwargs)

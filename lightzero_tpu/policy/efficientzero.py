@@ -99,45 +99,8 @@ class EfficientZeroPolicy(MuZeroPolicy):
             embedding=new_emb,
         )
 
-    def _forward_collect(
-        self, params, rng, obs, legal_mask, to_play, temperature, epsilon, deterministic=False
-    ):
-        from lightzero_tpu.ops.action import sample_from_visit_counts
-        from lightzero_tpu.search import batch_puct_search
-
-        out0 = self._initial(params, obs)
-        pred_value = inverse_scalar_transform(out0.value_logits, self.value_support)
-        root = RootOutput(
-            prior_logits=out0.policy_logits,
-            value=pred_value,
-            embedding=self._root_embedding(out0),
-        )
-        rng, s_rng, a_rng, e_rng, u_rng = jax.random.split(rng, 5)
-        search_out = batch_puct_search(
-            params,
-            s_rng,
-            root,
-            self._recurrent_fn,
-            self.search_cfg,
-            legal_mask,
-            to_play=to_play,
-            with_noise=not deterministic,
-        )
-        actions, dist_entropy = sample_from_visit_counts(
-            a_rng, search_out.visit_counts, temperature, deterministic=deterministic
-        )
-        B, A = legal_mask.shape
-        rand_action = jax.random.categorical(u_rng, jnp.where(legal_mask, 0.0, -jnp.inf), axis=-1)
-        explore = jax.random.uniform(e_rng, (B,)) < epsilon
-        actions = jnp.where(explore & ~jnp.asarray(deterministic), rand_action, actions)
-        return dict(
-            action=actions,
-            visit_counts=search_out.visit_counts,
-            searched_value=search_out.root_value,
-            predicted_value=pred_value,
-            policy_logits=out0.policy_logits,
-            distribution_entropy=dist_entropy,
-        )
+    # _forward_collect / _forward_reanalyze inherited: the base builds the
+    # root via self._root_embedding, which carries the LSTM state here.
 
     # ---------------------------------------------------------------- learn
     def _loss_fn(self, params, batch: TrainBatch):

@@ -68,6 +68,8 @@ class TrainBatch(NamedTuple):
     target_value: jnp.ndarray
     target_policy: jnp.ndarray
     weights: jnp.ndarray
+    # (B, K) true chance codes (stochastic envs); None elsewhere
+    chance: Optional[jnp.ndarray] = None
 
 
 def negative_cosine_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -209,6 +211,11 @@ class MuZeroPolicy:
         out = self._initial(target_params, obs)
         return inverse_scalar_transform(out.value_logits, self.value_support)
 
+    def _root_embedding(self, out0):
+        """Search-embedding pytree at the root; variants (EfficientZero)
+        extend this with LSTM state etc."""
+        return out0.latent_state
+
     def _recurrent_fn(self, params, rng, action, embedding) -> RecurrentOutput:
         out = self.model.apply(params, embedding, action, method=MuZeroModel.recurrent_inference)
         return RecurrentOutput(
@@ -333,7 +340,7 @@ class MuZeroPolicy:
         out0 = self._initial(params, obs)
         pred_value = inverse_scalar_transform(out0.value_logits, self.value_support)
         root = RootOutput(
-            prior_logits=out0.policy_logits, value=pred_value, embedding=out0.latent_state
+            prior_logits=out0.policy_logits, value=pred_value, embedding=self._root_embedding(out0)
         )
         rng, s_rng, a_rng, e_rng, u_rng = jax.random.split(rng, 5)
         search_out = batch_puct_search(
@@ -381,6 +388,39 @@ class MuZeroPolicy:
             jnp.asarray(epsilon, jnp.float32),
             deterministic=False,
         )
+
+    def _forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play):
+        """Re-run the search with the target network on stored observations
+        and return fresh normalized visit distributions — the reanalyzed
+        policy targets (reference _compute_target_policy_reanalyzed,
+        game_buffer_muzero.py:578-731; noise per ``reanalyze_noise``,
+        muzero.py:197-198)."""
+        out0 = self._initial(target_params, obs)
+        root = RootOutput(
+            prior_logits=out0.policy_logits,
+            value=inverse_scalar_transform(out0.value_logits, self.value_support),
+            embedding=self._root_embedding(out0),
+        )
+        search_out = batch_puct_search(
+            target_params,
+            rng,
+            root,
+            self._recurrent_fn,
+            self.search_cfg,
+            legal_mask,
+            to_play=to_play,
+            with_noise=bool(self.cfg.get("reanalyze_noise", True)),
+        )
+        counts = search_out.visit_counts.astype(jnp.float32)
+        return counts / jnp.maximum(counts.sum(-1, keepdims=True), 1e-9), search_out.root_value
+
+    def forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play=None):
+        if not hasattr(self, "_jit_reanalyze"):
+            self._jit_reanalyze = jax.jit(self._forward_reanalyze)
+        B = obs.shape[0]
+        if to_play is None:
+            to_play = jnp.full((B,), -1, jnp.int32)
+        return self._jit_reanalyze(target_params, rng, obs, legal_mask, to_play)
 
     def forward_eval(self, params, rng, obs, legal_mask, to_play=None) -> Dict[str, jnp.ndarray]:
         B = obs.shape[0]

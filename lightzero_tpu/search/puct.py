@@ -179,6 +179,14 @@ def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarra
             cfg, tree, st.node, parent_visit, cvisit, cvalue, creward, prior, legal, mean_q
         )
         action = _select_action(cfg, sub, scores).astype(jnp.int32)
+        if cfg.stochastic:
+            # chance nodes sample the outcome from the prior distribution
+            # (ctree_stochastic cnode.cpp:610-632)
+            rng, c_rng = jax.random.split(rng)
+            chance_logits = jnp.where(legal, jnp.log(jnp.maximum(prior, 1e-30)), -jnp.inf)
+            sampled = jax.random.categorical(c_rng, chance_logits, axis=-1).astype(jnp.int32)
+            node_is_chance = tree.is_chance[bidx, st.node]
+            action = jnp.where(node_is_chance, sampled, action)
         next_child = row_children[bidx, action]
         child_is_terminal = jnp.where(
             next_child >= 0, tree.terminal[bidx, jnp.maximum(next_child, 0)], False
@@ -275,6 +283,10 @@ def _expand_and_backup(
     terminal_arr = tree.terminal.at[bidx, new_idx].set(
         jnp.where(exp_b, terminal, tree.terminal[bidx, new_idx])
     )
+    leaf_is_chance = out.is_chance if out.is_chance is not None else jnp.zeros((B,), bool)
+    is_chance_arr = tree.is_chance.at[bidx, new_idx].set(
+        jnp.where(exp_b, leaf_is_chance, tree.is_chance[bidx, new_idx])
+    )
 
     def write_embedding(store, new):
         extra = (1,) * (new.ndim - 1)
@@ -291,6 +303,7 @@ def _expand_and_backup(
         raw_value=raw_value_arr,
         to_play=to_play_arr,
         terminal=terminal_arr,
+        is_chance=is_chance_arr,
         embedding=embedding,
     )
 

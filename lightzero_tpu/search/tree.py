@@ -29,6 +29,7 @@ class Tree(NamedTuple):
     children: jnp.ndarray  # (B, N, A) int32 child node index, -1 = virtual
     to_play: jnp.ndarray  # (B, N) int32 player at node (-1 = 1p mode)
     terminal: jnp.ndarray  # (B, N) bool absorbing state (env-sim search)
+    is_chance: jnp.ndarray  # (B, N) bool chance/afterstate node (Stochastic MuZero)
     legal: jnp.ndarray  # (B, N, A) bool legal child actions
     embedding: Any  # pytree of (B, N, ...) per-node latent
     # per-tree MinMax stats (reference cminimax.h:14-37)
@@ -91,6 +92,7 @@ def init_tree(
         children=jnp.full((B, N, A), UNVISITED, jnp.int32),
         to_play=jnp.full((B, N), -1, jnp.int32),
         terminal=jnp.zeros((B, N), bool),
+        is_chance=jnp.zeros((B, N), bool),
         legal=jnp.zeros((B, N, A), bool),
         embedding=jax.tree_util.tree_map(alloc_embedding, embedding_example),
         # reference MinMaxStats.clear(): min=+1e6, max=-inf (minimax.py:46-52);

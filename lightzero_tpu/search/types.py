@@ -34,6 +34,10 @@ class SearchConfig:
     # lowest-index argmax, used for golden tests vs the ptree.
     tie_break: str = "noise"
     tie_break_epsilon: float = 1e-6
+    # Stochastic MuZero: alternate decision/chance nodes; chance nodes
+    # SAMPLE the child from the prior outcome distribution
+    # (ctree_stochastic_muzero cnode.cpp:610-632).
+    stochastic: bool = False
 
 
 class RootOutput(NamedTuple):
@@ -59,6 +63,7 @@ class RecurrentOutput(NamedTuple):
     embedding: Any  # pytree of (B, ...) next latent
     legal_mask: Optional[jnp.ndarray] = None  # (B, A) bool
     terminal: Optional[jnp.ndarray] = None  # (B,) bool
+    is_chance: Optional[jnp.ndarray] = None  # (B,) bool new node is a chance node
 
 
 # recurrent_fn(params, rng, action (B,), embedding pytree) -> RecurrentOutput

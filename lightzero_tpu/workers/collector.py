@@ -33,8 +33,11 @@ class _EpisodeBuilder:
         self.legal: List[np.ndarray] = []
         self.to_play: List[int] = []
         self.priorities: List[float] = []
+        self.chance: List[int] = []
+        self.root_sampled_actions: List[np.ndarray] = []
 
-    def append(self, obs, action, reward, visits, root_value, legal, to_play, priority):
+    def append(self, obs, action, reward, visits, root_value, legal, to_play, priority, chance=0,
+               root_sampled_actions=None):
         self.obs.append(obs)
         self.actions.append(action)
         self.rewards.append(reward)
@@ -43,6 +46,9 @@ class _EpisodeBuilder:
         self.legal.append(legal)
         self.to_play.append(to_play)
         self.priorities.append(priority)
+        self.chance.append(chance)
+        if root_sampled_actions is not None:
+            self.root_sampled_actions.append(root_sampled_actions)
 
     def __len__(self):
         return len(self.actions)
@@ -50,15 +56,26 @@ class _EpisodeBuilder:
     def finish(self, truncated: bool) -> Tuple[EpisodeRecord, np.ndarray]:
         visits = np.asarray(self.child_visits, np.float32)
         sums = visits.sum(-1, keepdims=True)
+        actions_arr = np.asarray(self.actions)
+        if actions_arr.dtype.kind == 'f' or actions_arr.ndim > 1:
+            actions_arr = actions_arr.astype(np.float32)
+        else:
+            actions_arr = actions_arr.astype(np.int64)
         ep = EpisodeRecord(
             obs=np.asarray(self.obs, np.float32),
-            actions=np.asarray(self.actions, np.int64),
+            actions=actions_arr,
             rewards=np.asarray(self.rewards, np.float32),
             child_visits=visits / np.maximum(sums, 1e-9),
             root_values=np.asarray(self.root_values, np.float32),
             legal_mask=np.asarray(self.legal, bool),
             to_play=np.asarray(self.to_play, np.int64),
             truncated=truncated,
+            chance=np.asarray(self.chance, np.int64),
+            root_sampled_actions=(
+                np.asarray(self.root_sampled_actions, np.float32)
+                if self.root_sampled_actions
+                else None
+            ),
         )
         return ep, np.asarray(self.priorities, np.float64)
 
@@ -91,19 +108,33 @@ class RolloutCollector:
         state, obs = jax.vmap(self.env.reset)(rngs)
         legal = jax.vmap(self.env.legal_mask)(state)
         to_play = jnp.full((self.num_envs,), -1, jnp.int32)
-        return state, obs, legal, to_play
+        collect_state = (
+            self.policy.init_collect_state(self.num_envs)
+            if getattr(self.policy, "stateful_collect", False)
+            else None
+        )
+        return state, obs, legal, to_play, collect_state
 
     def _rollout(self, params, carry, rng, temperature, epsilon):
         """lax.scan of rollout_length fused search+env steps."""
+        stateful = getattr(self.policy, "stateful_collect", False)
 
         def one_step(c, step_rng):
-            env_state, obs, legal, to_play = c
+            env_state, obs, legal, to_play, collect_state = c
             p_rng, e_rng = jax.random.split(step_rng)
-            out = self.policy._forward_collect(
-                params, p_rng, obs, legal, to_play, temperature, epsilon, deterministic=False
-            )
+            if stateful:
+                out, collect_state = self.policy._forward_collect_stateful(
+                    params, p_rng, obs, legal, to_play, temperature, epsilon,
+                    collect_state, deterministic=False,
+                )
+            else:
+                out = self.policy._forward_collect(
+                    params, p_rng, obs, legal, to_play, temperature, epsilon, deterministic=False
+                )
             step_rngs = jax.random.split(e_rng, self.num_envs)
             step = jax.vmap(self.env.step)(env_state, out["action"], step_rngs)
+            if stateful:
+                collect_state = self.policy.reset_collect_state(collect_state, step.done)
             record = dict(
                 obs=obs,
                 legal=legal,
@@ -111,11 +142,17 @@ class RolloutCollector:
                 action=out["action"],
                 reward=step.reward,
                 done=step.done,
+                chance=step.chance,
                 visit_counts=out["visit_counts"],
                 searched_value=out["searched_value"],
                 predicted_value=out["predicted_value"],
+                **(
+                    {"root_sampled_actions": out["root_sampled_actions"]}
+                    if "root_sampled_actions" in out
+                    else {}
+                ),
             )
-            return (step.state, step.obs, step.legal_mask, step.to_play), record
+            return (step.state, step.obs, step.legal_mask, step.to_play, collect_state), record
 
         rngs = jax.random.split(rng, self.rollout_length)
         carry, records = jax.lax.scan(one_step, carry, rngs)
@@ -155,15 +192,22 @@ class RolloutCollector:
             for t in range(T):
                 for e in range(self.num_envs):
                     b = self._builders[e]
+                    a = np.asarray(records["action"][t, e])
                     b.append(
                         records["obs"][t, e],
-                        int(records["action"][t, e]),
+                        a if a.ndim > 0 else int(a),
                         float(records["reward"][t, e]),
                         records["visit_counts"][t, e],
                         float(records["searched_value"][t, e]),
                         records["legal"][t, e],
                         int(records["to_play"][t, e]),
                         float(pri[t, e]),
+                        chance=int(np.asarray(records["chance"])[t, e]) if "chance" in records else 0,
+                        root_sampled_actions=(
+                            records["root_sampled_actions"][t, e]
+                            if "root_sampled_actions" in records
+                            else None
+                        ),
                     )
                     self._env_return[e] += float(records["reward"][t, e])
                     if records["done"][t, e]:

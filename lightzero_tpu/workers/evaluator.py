@@ -37,25 +37,41 @@ class Evaluator:
         state, obs = jax.vmap(self.env.reset)(rngs)
         legal = jax.vmap(self.env.legal_mask)(state)
         to_play = jnp.full((self.num_envs,), -1, jnp.int32)
-        return state, obs, legal, to_play
+        collect_state = (
+            self.policy.init_collect_state(self.num_envs)
+            if getattr(self.policy, "stateful_collect", False)
+            else None
+        )
+        return state, obs, legal, to_play, collect_state
 
     def _rollout(self, params, carry, rng):
+        stateful = getattr(self.policy, "stateful_collect", False)
+
         def one_step(c, step_rng):
-            env_state, obs, legal, to_play = c
+            env_state, obs, legal, to_play, collect_state = c
             p_rng, e_rng = jax.random.split(step_rng)
-            out = self.policy._forward_collect(
-                params,
-                p_rng,
-                obs,
-                legal,
-                to_play,
-                jnp.asarray(1.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-                deterministic=True,
-            )
+            if stateful:
+                out, collect_state = self.policy._forward_collect_stateful(
+                    params, p_rng, obs, legal, to_play,
+                    jnp.asarray(1.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+                    collect_state, deterministic=True,
+                )
+            else:
+                out = self.policy._forward_collect(
+                    params,
+                    p_rng,
+                    obs,
+                    legal,
+                    to_play,
+                    jnp.asarray(1.0, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32),
+                    deterministic=True,
+                )
             step_rngs = jax.random.split(e_rng, self.num_envs)
             step = jax.vmap(self.env.step)(env_state, out["action"], step_rngs)
-            return (step.state, step.obs, step.legal_mask, step.to_play), dict(
+            if stateful:
+                collect_state = self.policy.reset_collect_state(collect_state, step.done)
+            return (step.state, step.obs, step.legal_mask, step.to_play, collect_state), dict(
                 reward=step.reward, done=step.done
             )
 

@@ -40,11 +40,14 @@ ENV_ALIASES = {
 
 
 def create_env(env_cfg: Config):
+    """Pure-JAX env from the registry, or None for host (gymnasium) envs."""
     env_id = env_cfg.get("env_id", env_cfg.get("type"))
     if env_id in ENV_ALIASES:
         key, kwargs = ENV_ALIASES[env_id]
-    else:
+    elif env_id in ENV_REGISTRY:
         key, kwargs = env_id, {}
+    else:
+        return None  # fall back to gymnasium host env
     kwargs = dict(kwargs)
     kwargs.update(env_cfg.get("env_kwargs", {}))
     return ENV_REGISTRY.build(key, **kwargs)
@@ -79,8 +82,26 @@ def train_muzero(
     n_collect_envs = cfg.env.get("collector_env_num", 8)
     n_eval_envs = cfg.env.get("evaluator_env_num", 3)
     rng, c_rng, e_rng = jax.random.split(rng, 3)
-    collector = RolloutCollector(env, policy, n_collect_envs, rng=c_rng)
-    evaluator = Evaluator(env, policy, n_eval_envs, rng=e_rng)
+    if env is not None:
+        collector = RolloutCollector(env, policy, n_collect_envs, rng=c_rng)
+        evaluator = Evaluator(env, policy, n_eval_envs, rng=e_rng)
+    else:
+        # gymnasium host env path (box2d/mujoco/atari — reference subprocess
+        # env-manager territory)
+        from lightzero_tpu.envs.host_env import HostVecEnv
+        from lightzero_tpu.workers.host_collector import HostCollector, HostEvaluator
+
+        env_id = cfg.env.get("env_id")
+        collector = HostCollector(
+            HostVecEnv(env_id, n_collect_envs, seed=seed, env_kwargs=cfg.env.get("env_kwargs")),
+            policy,
+            rng=c_rng,
+        )
+        evaluator = HostEvaluator(
+            HostVecEnv(env_id, n_eval_envs, seed=seed + 777, env_kwargs=cfg.env.get("env_kwargs")),
+            policy,
+            rng=e_rng,
+        )
     logger = ExperimentLogger(cfg.exp_name, "train")
     stop_value = cfg.env.get("stop_value", float("inf"))
     eval_freq = int(pcfg.get("eval_freq", 100))

@@ -1,0 +1,1 @@
+from lightzero_tpu.agent.agent import Agent, MuZeroAgent, EfficientZeroAgent, UniZeroAgent

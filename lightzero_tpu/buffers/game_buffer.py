@@ -154,6 +154,54 @@ class GameBuffer:
             pos = self._flat_pos[flat_i]
             self._priorities[e][pos] = new_p[j]
 
+    # ------------------------------------------------------------ rezero
+    def reanalyze_buffer(self, target_params, rng, reanalyze_batch_size: int = 256,
+                         partition: float = 0.75) -> int:
+        """ReZero-style periodic whole-buffer reanalyze (reference
+        game_buffer_rezero_mz.py:101-147, driven by buffer_reanalyze_freq /
+        reanalyze_batch_size / reanalyze_partition,
+        train_muzero_segment.py:191-208): re-run the search with the target
+        net on the newest ``partition`` of stored transitions (temporal
+        backward order) and overwrite the stored policy targets in place.
+        Returns the number of reanalyzed transitions."""
+        import jax as _jax
+
+        self._rebuild_flat()
+        n = self._total_transitions
+        budget = int(n * partition)
+        # newest episodes first
+        todo = []  # (episode index, position)
+        for e in range(len(self._episodes) - 1, -1, -1):
+            T = len(self._episodes[e].actions)
+            for t in range(T):
+                todo.append((e, t))
+            if len(todo) >= budget:
+                break
+        done_count = 0
+        for start in range(0, len(todo), reanalyze_batch_size):
+            chunk = todo[start : start + reanalyze_batch_size]
+            if len(chunk) < reanalyze_batch_size:
+                # pad to a fixed batch shape to avoid recompiles
+                chunk = chunk + [chunk[-1]] * (reanalyze_batch_size - len(chunk))
+            obs = np.stack([self._stacked_obs(self._episodes[e], t) for e, t in chunk])
+            legal = np.stack([self._episodes[e].legal_mask[t] for e, t in chunk])
+            to_play = np.asarray([self._episodes[e].to_play[t] for e, t in chunk])
+            rng, r = _jax.random.split(rng)
+            fresh, fresh_values = self.policy.forward_reanalyze(
+                target_params,
+                r,
+                jnp.asarray(obs),
+                jnp.asarray(legal),
+                jnp.asarray(to_play, jnp.int32),
+            )
+            fresh = np.asarray(fresh)
+            fresh_values = np.asarray(fresh_values)
+            for j, (e, t) in enumerate(chunk[: len(todo) - start]):
+                self._episodes[e].child_visits[t] = fresh[j]
+                self._episodes[e].root_values[t] = fresh_values[j]
+                done_count += 1
+        return done_count
+
     # ------------------------------------------------------------- targets
     def _stacked_obs(self, ep: EpisodeRecord, pos: int) -> np.ndarray:
         """Frame-stacked obs window ending at pos (zero-padded before t=0).

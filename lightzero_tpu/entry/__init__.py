@@ -7,3 +7,9 @@ train_unizero = train_muzero
 eval_unizero = eval_muzero
 
 from lightzero_tpu.entry.train_alphazero import train_alphazero
+from lightzero_tpu.entry.train_muzero_multitask import train_muzero_multitask
+from lightzero_tpu.entry.train_muzero_with_reward_model import train_muzero_with_reward_model
+
+# ReZero = the shared loop with buffer_reanalyze_freq > 0 (reference keeps a
+# separate train_rezero entry, lzero/entry/train_rezero.py)
+train_rezero = train_muzero

@@ -148,6 +148,21 @@ def train_muzero(
             num_episodes=n_episode,
         )
         buffer.push_episodes(episodes, priorities)
+        # ReZero periodic whole-buffer reanalyze (train_rezero.py /
+        # train_muzero_segment.py:191-208)
+        br_freq = float(pcfg.get("buffer_reanalyze_freq", 0.0))
+        if br_freq > 0:
+            collect_round = getattr(collector, "total_episodes", 0) // max(n_episode, 1)
+            every = max(1, int(round(1.0 / br_freq)))
+            if collect_round % every == 0 and buffer.num_transitions > 0:
+                rng, br_rng = jax.random.split(rng)
+                n_re = buffer.reanalyze_buffer(
+                    state.target_params,
+                    br_rng,
+                    reanalyze_batch_size=int(pcfg.get("reanalyze_batch_size", 256)),
+                    partition=float(pcfg.get("reanalyze_partition", 0.75)),
+                )
+                logger.info(f"rezero: reanalyzed {n_re} transitions")
         logger.log_scalars(
             {
                 "collect_mean_return": cstats["mean_return"],

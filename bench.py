@@ -17,8 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from lightzero_tpu.utils.jax_setup import setup_jax
 
-def bench_search(batch_size=256, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
+setup_jax()
+
+
+def bench_search(batch_size=1024, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
     from lightzero_tpu.policy import MuZeroPolicy
 
     cfg = MuZeroPolicy.default_config()
@@ -73,7 +77,7 @@ def main():
             {
                 "metric": "mcts_sims_per_sec_per_chip",
                 "value": round(sims_per_sec, 1),
-                "unit": "sims/s (batch=256, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
+                "unit": "sims/s (batch=1024, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "search_latency_ms": round(latency * 1e3, 2),
             }

@@ -10,6 +10,10 @@ from typing import Optional
 import numpy as np
 
 import jax
+
+from lightzero_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
 import jax.numpy as jnp
 
 import lightzero_tpu.envs  # noqa: F401  (populates ENV_REGISTRY)

@@ -16,6 +16,10 @@ import numpy as np
 
 import jax
 
+from lightzero_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from lightzero_tpu.buffers import GameBuffer
 from lightzero_tpu.config import Config, compile_config
 from lightzero_tpu.ops import visit_count_temperature

@@ -21,6 +21,10 @@ from typing import Dict, List, Optional
 import numpy as np
 
 import jax
+
+from lightzero_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
 import jax.numpy as jnp
 
 import lightzero_tpu.envs  # noqa: F401

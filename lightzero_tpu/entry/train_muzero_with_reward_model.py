@@ -11,6 +11,10 @@ import numpy as np
 
 import jax
 
+from lightzero_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from lightzero_tpu.config import Config
 from lightzero_tpu.reward_model import RNDRewardModel
 

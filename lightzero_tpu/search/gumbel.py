@@ -97,7 +97,10 @@ def _completed_q(cfg: GumbelSearchConfig, tree: Tree, node: jnp.ndarray):
     exists = row_children >= 0
     safe = jnp.maximum(row_children, 0)
     cvisit = jnp.where(exists, tree.visit_count[b2, safe], 0)
-    cvalue = jnp.where(exists, tree.node_value()[b2, safe], 0.0)
+    cvsum = tree.value_sum[b2, safe]
+    cvalue = jnp.where(
+        exists & (cvisit > 0), cvsum / jnp.maximum(cvisit, 1).astype(cvsum.dtype), 0.0
+    )
     creward = jnp.where(exists, tree.reward[b2, safe], 0.0)
     logits = tree.prior[bidx, node]  # raw logits, illegal = _LOW_LOGIT
     legal = tree.legal[bidx, node]

@@ -73,7 +73,12 @@ def _child_stats(tree: Tree, node: jnp.ndarray):
     safe = jnp.maximum(row_children, 0)
     b2 = bidx[:, None]
     child_visit = jnp.where(exists, tree.visit_count[b2, safe], 0)
-    child_value = jnp.where(exists, tree.node_value()[b2, safe], 0.0)
+    child_vsum = tree.value_sum[b2, safe]
+    child_value = jnp.where(
+        exists & (child_visit > 0),
+        child_vsum / jnp.maximum(child_visit, 1).astype(child_vsum.dtype),
+        0.0,
+    )
     child_reward = jnp.where(exists, tree.reward[b2, safe], 0.0)
     prior = tree.prior[bidx, node]  # (B, A)
     legal = tree.legal[bidx, node]  # (B, A)
@@ -318,39 +323,60 @@ def _expand_and_backup(
     leaf_to_play = st.virtual_to_play
 
     max_len = path.shape[1]
+    P = max_len
+    b2 = bidx[:, None]
+    # gather everything along the path ONCE (one scatter at the end instead
+    # of a scatter per path position — the backup was the search's
+    # sequential-bottleneck kernel)
+    valid = jnp.arange(P)[None, :] < path_len[:, None]  # (B, P)
+    path_nodes = jnp.where(valid, path, 0)
+    node_r = tree.reward[b2, path_nodes]  # (B, P)
+    if cfg.players == 2:
+        same = tree.to_play[b2, path_nodes] == leaf_to_play[:, None]
 
-    def step(j, carry):
-        visit, vsum, vmin, vmax, bootstrap = carry
-        i = max_len - 1 - j
-        valid = i < path_len
-        node = path[bidx, i]
-        node_r = tree.reward[bidx, node]
+    # bootstrap recurrence (right-to-left): boot_{i} entering node i;
+    # boot_{L-1} = leaf value, boot_{i} = ±r_{i+1} + γ·boot_{i+1}
+    def boot_step(carry, xs):
+        r_next, same_next, valid_next = xs
         if cfg.players == 1:
-            contrib = bootstrap
+            nxt = r_next + cfg.discount * carry
         else:
-            same = tree.to_play[bidx, node] == leaf_to_play
-            contrib = jnp.where(same, bootstrap, -bootstrap)
-        vsum = vsum.at[bidx, node].add(jnp.where(valid, contrib, 0.0))
-        visit = visit.at[bidx, node].add(valid.astype(jnp.int32))
-        node_value = vsum[bidx, node] / jnp.maximum(visit[bidx, node], 1).astype(dtype)
-        if cfg.players == 1:
-            q = node_r + cfg.discount * node_value
-            new_bootstrap = node_r + cfg.discount * bootstrap
-        else:
-            q = node_r + cfg.discount * (-node_value)
-            same = tree.to_play[bidx, node] == leaf_to_play
-            new_bootstrap = jnp.where(same, -node_r, node_r) + cfg.discount * bootstrap
-        vmin = jnp.where(valid, jnp.minimum(vmin, q), vmin)
-        vmax = jnp.where(valid, jnp.maximum(vmax, q), vmax)
-        bootstrap = jnp.where(valid, new_bootstrap, bootstrap)
-        return (visit, vsum, vmin, vmax, bootstrap)
+            nxt = jnp.where(same_next, -r_next, r_next) + cfg.discount * carry
+        carry = jnp.where(valid_next, nxt, carry)
+        return carry, carry
 
-    visit, vsum, vmin, vmax, _ = jax.lax.fori_loop(
-        0,
-        max_len,
-        step,
-        (tree.visit_count, tree.value_sum, tree.vmin, tree.vmax, value),
-    )
+    # scan from i = L-1 down to 0: at step for position i we fold in r_{i+1}
+    rs = jnp.flip(node_r, axis=1).T  # (P, B) reversed: position L-1 first
+    if cfg.players == 2:
+        ss = jnp.flip(same, axis=1).T
+    else:
+        ss = jnp.zeros((P, B), bool)
+    vs = jnp.flip(valid, axis=1).T
+    # contributions: position i gets the bootstrap BEFORE folding r_i
+    _, boots_rev = jax.lax.scan(boot_step, value, (rs, ss, vs))
+    # boots_rev[j] = bootstrap AFTER processing reversed position j; the
+    # contribution at reversed position j is the bootstrap BEFORE it
+    boots_before = jnp.concatenate([value[None], boots_rev[:-1]], axis=0)  # (P, B)
+    contrib = jnp.flip(boots_before.T, axis=1)  # (B, P), aligned to path pos
+
+    if cfg.players == 2:
+        contrib_signed = jnp.where(same, contrib, -contrib)
+    else:
+        contrib_signed = contrib
+    contrib_signed = jnp.where(valid, contrib_signed, 0.0)
+
+    vsum = tree.value_sum.at[b2, path_nodes].add(contrib_signed)
+    visit = tree.visit_count.at[b2, path_nodes].add(valid.astype(jnp.int32))
+
+    node_value = vsum[b2, path_nodes] / jnp.maximum(visit[b2, path_nodes], 1).astype(dtype)
+    if cfg.players == 1:
+        q = node_r + cfg.discount * node_value
+    else:
+        q = node_r + cfg.discount * (-node_value)
+    q = jnp.where(valid, q, jnp.inf)
+    vmin = jnp.minimum(tree.vmin, jnp.min(q, axis=1))
+    q = jnp.where(valid, q, -jnp.inf)
+    vmax = jnp.maximum(tree.vmax, jnp.max(q, axis=1))
     return tree._replace(visit_count=visit, value_sum=vsum, vmin=vmin, vmax=vmax)
 
 

@@ -20,6 +20,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compilation cache: repeat test runs skip minutes of XLA compiles
+from lightzero_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax(os.path.expanduser("~/.cache/lightzero_tpu_jax_tests"))
+
 REFERENCE_PATH = "/root/reference"
 
 

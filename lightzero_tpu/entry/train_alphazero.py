@@ -20,6 +20,7 @@ import lightzero_tpu.envs  # noqa: F401  (populates ENV_REGISTRY)
 from lightzero_tpu.config import Config, compile_config
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.policy.alphazero import AlphaZeroPolicy, AZTrainBatch
+from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.utils import ENV_REGISTRY
 from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
@@ -38,14 +39,21 @@ def train_alphazero(
 ):
     if isinstance(cfg, (list, tuple)):
         cfg = cfg[0]
-    cfg = compile_config(cfg, AlphaZeroPolicy.default_config(), seed)
+    # type dispatch: 'alphazero' (default) or 'gumbel_alphazero'
+    from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
+    from lightzero_tpu.utils import POLICY_REGISTRY
+
+    policy_type = Config(cfg).get("policy", {}).get("type", "alphazero")
+    policy_cls = POLICY_REGISTRY.get(policy_type)
+    cfg = compile_config(cfg, policy_cls.default_config(), seed)
     pcfg = cfg.policy
 
     env_key = cfg.env.get("type", "tictactoe")
-    selfplay_env = ENV_REGISTRY.build(env_key, battle_mode="self_play_mode")
-    eval_env = ENV_REGISTRY.build(env_key, battle_mode="play_with_bot_mode")
+    env_kwargs = dict(cfg.env.get("env_kwargs", {}))
+    selfplay_env = ENV_REGISTRY.build(env_key, battle_mode="self_play_mode", **env_kwargs)
+    eval_env = ENV_REGISTRY.build(env_key, battle_mode="play_with_bot_mode", **env_kwargs)
 
-    policy = AlphaZeroPolicy(pcfg, selfplay_env)
+    policy = policy_cls(pcfg, selfplay_env)
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)

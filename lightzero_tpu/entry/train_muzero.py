@@ -96,13 +96,17 @@ def train_muzero(
         from lightzero_tpu.workers.host_collector import HostCollector, HostEvaluator
 
         env_id = cfg.env.get("env_id")
+        if str(env_id).startswith("ALE/"):
+            from lightzero_tpu.envs.atari import AtariVecEnv as _VecEnv
+        else:
+            _VecEnv = HostVecEnv
         collector = HostCollector(
-            HostVecEnv(env_id, n_collect_envs, seed=seed, env_kwargs=cfg.env.get("env_kwargs")),
+            _VecEnv(env_id, n_collect_envs, seed=seed, env_kwargs=cfg.env.get("env_kwargs")),
             policy,
             rng=c_rng,
         )
         evaluator = HostEvaluator(
-            HostVecEnv(env_id, n_eval_envs, seed=seed + 777, env_kwargs=cfg.env.get("env_kwargs")),
+            _VecEnv(env_id, n_eval_envs, seed=seed + 777, env_kwargs=cfg.env.get("env_kwargs")),
             policy,
             rng=e_rng,
         )

@@ -49,6 +49,7 @@ class AlphaZeroPolicy:
     def default_config() -> Config:
         return Config(
             dict(
+                type="alphazero",
                 model=dict(
                     observation_shape=(3, 3, 3),
                     action_space_size=9,

@@ -19,6 +19,7 @@ class GumbelAlphaZeroPolicy(AlphaZeroPolicy):
     @staticmethod
     def default_config() -> Config:
         cfg = AlphaZeroPolicy.default_config()
+        cfg.type = "gumbel_alphazero"
         cfg.max_num_considered_actions = 6
         return cfg
 

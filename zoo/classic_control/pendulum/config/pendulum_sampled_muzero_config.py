@@ -1,0 +1,22 @@
+"""Pendulum Sampled MuZero, continuous actions (reference:
+zoo/classic_control/pendulum/config/pendulum_cont_sampled_efficientzero_config.py)."""
+from lightzero_tpu.config import Config
+
+K = 20  # num_of_sampled_actions
+
+main_config = Config(dict(
+    exp_name=f"data_smz/pendulum_sampled_muzero_k{K}_seed0",
+    env=dict(env_id="Pendulum-v1", stop_value=-250, collector_env_num=8,
+             evaluator_env_num=3, n_evaluator_episode=3),
+    policy=dict(
+        type="sampled_muzero",
+        model=dict(observation_shape=3, action_space_size=1, latent_state_dim=128),
+        num_simulations=50, num_of_sampled_actions=K, batch_size=256,
+        update_per_collect=100, n_episode=8, eval_freq=200, ssl_loss_weight=2,
+        learning_rate=0.003,
+    ),
+))
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_muzero
+    train_muzero(main_config, seed=0, max_env_step=int(2e5))

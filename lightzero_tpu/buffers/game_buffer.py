@@ -68,6 +68,12 @@ class GameBuffer:
         self.frame_stack = int(cfg.get("frame_stack_num", 1))
         self._rng = np.random.RandomState(cfg.get("seed", 0) + 4096)
         self._jit_bootstrap = jax.jit(self._bootstrap_values)
+        # native C++ replay core (sampling + unroll index assembly); the
+        # pure-python path remains as fallback and behavioral reference
+        from lightzero_tpu.buffers import native as _native
+
+        self._native = _native
+        self._use_native = bool(cfg.get("use_native_replay", True)) and _native.available()
         self._flat_dirty = True
         self._flat_priorities = np.zeros(0, np.float64)
         self._flat_ep = np.zeros(0, np.int64)
@@ -116,14 +122,38 @@ class GameBuffer:
         if not self._flat_dirty:
             return
         eps, poss, pris = [], [], []
+        starts = []
+        off = 0
         for e, p in enumerate(self._priorities):
             T = len(p)
             eps.append(np.full(T, e, np.int64))
             poss.append(np.arange(T, dtype=np.int64))
             pris.append(p)
+            starts.append(off)
+            off += T
         self._flat_ep = np.concatenate(eps) if eps else np.zeros(0, np.int64)
         self._flat_pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
         self._flat_priorities = np.concatenate(pris) if pris else np.zeros(0, np.float64)
+        self._ep_start = np.asarray(starts, np.int64)
+        self._ep_len = np.asarray([len(p) for p in self._priorities], np.int64)
+        # contiguous pools for the native fast path (numpy bulk gathers)
+        if self._episodes and self._use_native:
+            self._flat_obs = np.concatenate([e.obs for e in self._episodes])
+            self._flat_actions = np.concatenate([e.actions for e in self._episodes])
+            self._flat_rewards = np.concatenate([e.rewards for e in self._episodes]).astype(
+                np.float32
+            )
+            self._flat_policies = np.concatenate([e.child_visits for e in self._episodes])
+            self._flat_chance = (
+                np.concatenate(
+                    [
+                        e.chance if e.chance is not None else np.zeros(len(e.actions), np.int64)
+                        for e in self._episodes
+                    ]
+                )
+                if self._episodes
+                else np.zeros(0, np.int64)
+            )
         self._flat_dirty = False
 
     def sample(self, batch_size: int, target_params) -> Tuple[TrainBatch, np.ndarray]:
@@ -132,14 +162,20 @@ class GameBuffer:
         self._rebuild_flat()
         n = len(self._flat_priorities)
         assert n > 0, "buffer empty"
-        if self.use_priority:
+        if self.use_priority and self._use_native:
+            idx, weights = self._native.sample_prioritized(
+                self._flat_priorities, self.alpha, self.beta, batch_size,
+                int(self._rng.randint(1 << 31)),
+            )
+        elif self.use_priority:
             probs = self._flat_priorities ** self.alpha
             probs = probs / probs.sum()
+            idx = self._rng.choice(n, size=batch_size, p=probs, replace=True)
+            weights = (n * probs[idx]) ** (-self.beta)
+            weights = weights / weights.max()
         else:
-            probs = np.full(n, 1.0 / n)
-        idx = self._rng.choice(n, size=batch_size, p=probs, replace=True)
-        weights = (n * probs[idx]) ** (-self.beta)
-        weights = weights / weights.max()
+            idx = self._rng.randint(0, n, size=batch_size)
+            weights = np.ones(batch_size)
 
         batch = self._make_batch(idx, target_params, np.asarray(weights, np.float32))
         return batch, idx
@@ -223,9 +259,113 @@ class GameBuffer:
         variants (EfficientZero LSTM model etc.) supply their own head."""
         return self.policy._bootstrap_value_fn(target_params, obs)
 
-    def _make_batch(self, idx: np.ndarray, target_params, weights: np.ndarray) -> TrainBatch:
+    def _apply_reanalyze(self, idx, target_policy, target_params):
+        """Reanalyze the first ceil(B*ratio) samples: fresh MCTS policy
+        targets from the target net (reference reanalyze_ratio mixing,
+        game_buffer_muzero.py:179-190)."""
+        B = len(idx)
+        K = self.K
+        A = target_policy.shape[-1]
+        n_re = int(np.ceil(B * self.reanalyze_ratio)) if self.reanalyze_ratio > 0 else 0
+        if n_re == 0:
+            return target_policy
+        obs_shape = self._stacked_obs(self._episodes[0], 0).shape
+        re_obs = np.zeros((n_re, K + 1) + obs_shape, np.float32)
+        re_legal = np.zeros((n_re, K + 1, A), bool)
+        re_to_play = np.full((n_re, K + 1), -1, np.int64)
+        re_valid = np.zeros((n_re, K + 1), np.float32)
+        for b in range(n_re):
+            e = self._flat_ep[idx[b]]
+            pos = int(self._flat_pos[idx[b]])
+            ep = self._episodes[e]
+            T = len(ep.actions)
+            for k in range(K + 1):
+                t = pos + k
+                if t < T:
+                    re_obs[b, k] = self._stacked_obs(ep, t)
+                    re_legal[b, k] = ep.legal_mask[t]
+                    re_to_play[b, k] = ep.to_play[t]
+                    re_valid[b, k] = 1.0
+                else:
+                    re_legal[b, k, :] = True  # avoid empty-legal search
+        M = n_re * (K + 1)
+        self._re_rng, r = (
+            jax.random.split(self._re_rng)
+            if hasattr(self, "_re_rng")
+            else jax.random.split(jax.random.PRNGKey(int(self._rng.randint(1 << 30))))
+        )
+        fresh_policy, _ = self.policy.forward_reanalyze(
+            target_params,
+            r,
+            jnp.asarray(re_obs.reshape((M,) + obs_shape)),
+            jnp.asarray(re_legal.reshape(M, A)),
+            jnp.asarray(re_to_play.reshape(M), jnp.int32),
+        )
+        self._re_rng = r
+        fresh_policy = np.asarray(fresh_policy).reshape(n_re, K + 1, A)
+        target_policy = np.array(target_policy)
+        target_policy[:n_re] = fresh_policy * re_valid[..., None]
+        return target_policy
+
+    def _make_batch_native(self, idx: np.ndarray, target_params, weights: np.ndarray) -> TrainBatch:
+        """Native fast path: C++ index assembly + numpy bulk gathers
+        (no per-sample Python loops). Falls back to the reference-python
+        path for frame stacking / sampled-action batches."""
         K, td, gamma = self.K, self.td_steps, self.discount
         B = len(idx)
+        ep = self._flat_ep[idx]
+        out = self._native.assemble_unroll(
+            self._ep_start[ep], self._ep_len[ep], self._flat_pos[idx],
+            self._flat_rewards, K, td, gamma,
+        )
+        obs_valid = out["obs_valid"].astype(bool)
+        obs_shape = self._flat_obs.shape[1:]
+        obs = np.where(
+            obs_valid.reshape(B, K + 1, *([1] * len(obs_shape))),
+            self._flat_obs[out["obs_idx"]],
+            0.0,
+        ).astype(np.float32)
+        target_policy = np.where(
+            obs_valid[..., None], self._flat_policies[out["obs_idx"]], 0.0
+        ).astype(np.float32)
+        pad = out["action_pad"].astype(bool)
+        A = self._flat_policies.shape[1]
+        actions = np.where(
+            pad, self._rng.randint(0, A, size=(B, K)), self._flat_actions[out["action_idx"]]
+        )
+        target_reward = np.where(pad, 0.0, self._flat_rewards[out["action_idx"]]).astype(
+            np.float32
+        )
+        boot_obs = self._flat_obs[out["boot_idx"]].astype(np.float32)
+        boot_v = np.asarray(
+            self._jit_bootstrap(
+                target_params, jnp.asarray(boot_obs.reshape((B * (K + 1),) + obs_shape))
+            )
+        ).reshape(B, K + 1)
+        target_value = out["reward_sum"] + out["boot_disc"] * boot_v * out["boot_valid"]
+        target_policy = self._apply_reanalyze(idx, target_policy, target_params)
+        chance = np.where(pad, 0, self._flat_chance[out["action_idx"]])
+        return TrainBatch(
+            obs=jnp.asarray(obs),
+            actions=jnp.asarray(actions, jnp.int32),
+            mask=jnp.asarray(out["mask"]),
+            target_reward=jnp.asarray(target_reward),
+            target_value=jnp.asarray(target_value.astype(np.float32)),
+            target_policy=jnp.asarray(target_policy),
+            weights=jnp.asarray(weights),
+            chance=jnp.asarray(chance, jnp.int32),
+        )
+
+    def _make_batch(self, idx: np.ndarray, target_params, weights: np.ndarray) -> TrainBatch:
+        self._rebuild_flat()
+        K, td, gamma = self.K, self.td_steps, self.discount
+        B = len(idx)
+        if (
+            self._use_native
+            and self.frame_stack == 1
+            and self._episodes[0].root_sampled_actions is None
+        ):
+            return self._make_batch_native(idx, target_params, weights)
         obs_shape = self._stacked_obs(self._episodes[0], 0).shape
         A = self._episodes[0].child_visits.shape[1]
 
@@ -296,45 +436,7 @@ class GameBuffer:
         ).reshape(B, K + 1)
         target_value = reward_sum + boot_discount * boot_v * boot_valid
 
-        # --- reanalyze: fresh MCTS policy targets for the first
-        # ceil(B*ratio) samples (reference reanalyze_ratio mixing,
-        # game_buffer_muzero.py:179-190) ---
-        n_re = int(np.ceil(B * self.reanalyze_ratio)) if self.reanalyze_ratio > 0 else 0
-        if n_re > 0:
-            re_obs = np.zeros((n_re, K + 1) + obs_shape, np.float32)
-            re_legal = np.zeros((n_re, K + 1, A), bool)
-            re_to_play = np.full((n_re, K + 1), -1, np.int64)
-            re_valid = np.zeros((n_re, K + 1), np.float32)
-            for b in range(n_re):
-                e = self._flat_ep[idx[b]]
-                pos = int(self._flat_pos[idx[b]])
-                ep = self._episodes[e]
-                T = len(ep.actions)
-                for k in range(K + 1):
-                    t = pos + k
-                    if t < T:
-                        re_obs[b, k] = self._stacked_obs(ep, t)
-                        re_legal[b, k] = ep.legal_mask[t]
-                        re_to_play[b, k] = ep.to_play[t]
-                        re_valid[b, k] = 1.0
-                    else:
-                        re_legal[b, k, :] = True  # avoid empty-legal search
-            M = n_re * (K + 1)
-            self._re_rng, r = (
-                jax.random.split(self._re_rng)
-                if hasattr(self, "_re_rng")
-                else jax.random.split(jax.random.PRNGKey(int(self._rng.randint(1 << 30))))
-            )
-            fresh_policy, _ = self.policy.forward_reanalyze(
-                target_params,
-                r,
-                jnp.asarray(re_obs.reshape((M,) + obs_shape)),
-                jnp.asarray(re_legal.reshape(M, A)),
-                jnp.asarray(re_to_play.reshape(M), jnp.int32),
-            )
-            self._re_rng = r
-            fresh_policy = np.asarray(fresh_policy).reshape(n_re, K + 1, A)
-            target_policy[:n_re] = fresh_policy * re_valid[..., None]
+        target_policy = self._apply_reanalyze(idx, target_policy, target_params)
 
         batch = TrainBatch(
             obs=jnp.asarray(obs),

@@ -1,0 +1,109 @@
+"""Native replay core tests: builds with g++, and the native fast path
+produces batches equivalent to the pure-python reference path."""
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.unittest
+
+
+def test_native_builds():
+    from lightzero_tpu.buffers import native
+
+    assert native.available(), "g++ build of replay_core.cpp failed"
+
+
+def test_sample_prioritized_distribution():
+    from lightzero_tpu.buffers import native
+
+    pri = np.asarray([1.0, 1.0, 8.0, 1.0], np.float64)
+    idx, w = native.sample_prioritized(pri, alpha=1.0, beta=1.0, batch=4000, seed=7)
+    counts = np.bincount(idx, minlength=4)
+    # index 2 has 8/11 of the mass
+    assert counts[2] > 2400, counts
+    # weights: rare samples get the max weight 1.0
+    assert w.max() <= 1.0 + 1e-6 and w[idx == 2].max() < w[idx != 2].min()
+
+
+def test_assemble_unroll_matches_python():
+    from lightzero_tpu.buffers import native
+
+    rng = np.random.RandomState(0)
+    ep_lens = [7, 12, 3]
+    starts = np.cumsum([0] + ep_lens[:-1]).astype(np.int64)
+    flat_rewards = rng.randn(sum(ep_lens)).astype(np.float32)
+    K, td, gamma = 4, 3, 0.9
+    # samples across episode boundaries
+    samples = [(0, 5), (1, 0), (1, 10), (2, 2)]
+    ep = np.asarray([s[0] for s in samples], np.int64)
+    pos = np.asarray([s[1] for s in samples], np.int64)
+    out = native.assemble_unroll(
+        starts[ep], np.asarray(ep_lens, np.int64)[ep], pos, flat_rewards, K, td, gamma
+    )
+    for b, (e, p) in enumerate(samples):
+        T = ep_lens[e]
+        for k in range(K + 1):
+            t = p + k
+            if t < T:
+                assert out["obs_valid"][b, k] == 1
+                assert out["obs_idx"][b, k] == starts[e] + t
+                td_eff = min(td, T - t)
+                expect = sum(gamma**i * flat_rewards[starts[e] + t + i] for i in range(td_eff))
+                np.testing.assert_allclose(out["reward_sum"][b, k], expect, rtol=1e-5)
+                bt = t + td_eff
+                assert out["boot_valid"][b, k] == (1 if bt < T else 0)
+                if bt < T:
+                    assert out["boot_idx"][b, k] == starts[e] + bt
+                    np.testing.assert_allclose(out["boot_disc"][b, k], gamma**td_eff, rtol=1e-6)
+            else:
+                assert out["obs_valid"][b, k] == 0
+            if k < K:
+                assert out["action_pad"][b, k] == (0 if t < T else 1)
+                assert out["mask"][b, k] == (1.0 if t + 1 < T else 0.0)
+
+
+def test_native_batch_equivalent_to_python():
+    """Same sampled indices → native and python paths produce identical
+    TrainBatch contents (modulo random action padding)."""
+    from lightzero_tpu.buffers import GameBuffer
+    from lightzero_tpu.policy import MuZeroPolicy
+    from tests_helpers_buffers import fake_episode
+
+    cfg = MuZeroPolicy.default_config()
+    cfg.model.latent_state_dim = 16
+    cfg.model.support_scale = 5
+    cfg.num_simulations = 3
+    policy = MuZeroPolicy(cfg)
+    state = policy.init_train_state(jax.random.PRNGKey(0))
+    eps = [fake_episode(T=15, seed=i) for i in range(3)]
+
+    buf_native = GameBuffer(cfg, policy)
+    buf_native.push_episodes(eps)
+    assert buf_native._use_native
+    cfg2 = MuZeroPolicy.default_config()
+    cfg2.model.latent_state_dim = 16
+    cfg2.model.support_scale = 5
+    cfg2.use_native_replay = False
+    buf_py = GameBuffer(cfg2, policy)
+    buf_py.push_episodes(eps)
+    assert not buf_py._use_native
+
+    idx = np.asarray([0, 5, 14, 20, 40, 44])  # incl. near-episode-end positions
+    w = np.ones(len(idx), np.float32)
+    bn = buf_native._make_batch(idx, state.target_params, w)
+    bp = buf_py._make_batch(idx, state.target_params, w)
+    np.testing.assert_allclose(np.asarray(bn.obs), np.asarray(bp.obs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn.mask), np.asarray(bp.mask), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bn.target_value), np.asarray(bp.target_value), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bn.target_policy), np.asarray(bp.target_policy), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bn.target_reward), np.asarray(bp.target_reward), atol=1e-6
+    )
+    # actions equal wherever not randomly padded
+    m = np.asarray(bp.mask) > 0
+    np.testing.assert_array_equal(np.asarray(bn.actions)[m], np.asarray(bp.actions)[m])

@@ -66,6 +66,7 @@ class GameBuffer:
         self.use_priority = bool(cfg.get("use_priority", True))
         self.reanalyze_ratio = float(cfg.get("reanalyze_ratio", 0.0))
         self.frame_stack = int(cfg.get("frame_stack_num", 1))
+        self.board_mode = cfg.get("env_type", "not_board_games") == "board_games"
         self._rng = np.random.RandomState(cfg.get("seed", 0) + 4096)
         self._jit_bootstrap = jax.jit(self._bootstrap_values)
         # native C++ replay core (sampling + unroll index assembly); the
@@ -259,6 +260,28 @@ class GameBuffer:
         variants (EfficientZero LSTM model etc.) supply their own head."""
         return self.policy._bootstrap_value_fn(target_params, obs)
 
+    def _board_game_value_targets(self, idx) -> np.ndarray:
+        """(B, K+1) winner-z value targets for two-player board games: the
+        outcome from the perspective of the player to move at each unroll
+        position (reference board-game branch of
+        _compute_target_reward_value; the reference's discount=1 + episode-
+        end bootstrap reduces to exactly this)."""
+        K = self.K
+        B = len(idx)
+        z = np.zeros((B, K + 1), np.float32)
+        for b, flat_i in enumerate(idx):
+            e = self._flat_ep[flat_i]
+            pos = int(self._flat_pos[flat_i])
+            ep = self._episodes[e]
+            T = len(ep.actions)
+            last_mover = int(ep.to_play[T - 1])
+            winner = last_mover if ep.rewards[T - 1] > 0 else 0
+            for k in range(K + 1):
+                t = pos + k
+                if t < T and winner != 0:
+                    z[b, k] = 1.0 if int(ep.to_play[t]) == winner else -1.0
+        return z
+
     def _apply_reanalyze(self, idx, target_policy, target_params):
         """Reanalyze the first ceil(B*ratio) samples: fresh MCTS policy
         targets from the target net (reference reanalyze_ratio mixing,
@@ -343,6 +366,8 @@ class GameBuffer:
             )
         ).reshape(B, K + 1)
         target_value = out["reward_sum"] + out["boot_disc"] * boot_v * out["boot_valid"]
+        if self.board_mode:
+            target_value = self._board_game_value_targets(idx)
         target_policy = self._apply_reanalyze(idx, target_policy, target_params)
         chance = np.where(pad, 0, self._flat_chance[out["action_idx"]])
         return TrainBatch(
@@ -435,6 +460,8 @@ class GameBuffer:
             self._jit_bootstrap(target_params, jnp.asarray(boot_obs.reshape((B * (K + 1),) + obs_shape)))
         ).reshape(B, K + 1)
         target_value = reward_sum + boot_discount * boot_v * boot_valid
+        if self.board_mode:
+            target_value = self._board_game_value_targets(idx)
 
         target_policy = self._apply_reanalyze(idx, target_policy, target_params)
 

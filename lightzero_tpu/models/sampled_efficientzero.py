@@ -1,0 +1,146 @@
+"""Sampled EfficientZero model (flax): continuous Gaussian policy head +
+LSTM value-prefix dynamics.
+
+Capability-parity rebuild of reference
+lzero/model/sampled_efficientzero_model_mlp.py: the SampledMuZero heads
+(mu, sigma) over an EfficientZero backbone whose dynamics thread the
+reward-hidden LSTM state and predict value_prefix.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.models.common import MLPTorso, RepresentationNetworkMLP, SSLProjector
+
+
+class SampledEfficientZeroModel(nn.Module):
+    observation_shape: Any = 3
+    action_space_size: int = 1  # continuous action dimension
+    latent_state_dim: int = 128
+    lstm_hidden_size: int = 256
+    value_support_size: int = 601
+    reward_support_size: int = 601
+    common_layer_num: int = 2
+    norm_type: str = "LN"
+    last_linear_layer_init_zero: bool = True
+    sigma_min: float = 0.1
+    sigma_max: float = 1.0
+
+    def setup(self):
+        L = self.latent_state_dim
+        self._repr = RepresentationNetworkMLP(latent_state_dim=L, norm_type=self.norm_type)
+        self._dyn_torso = MLPTorso(
+            hidden_sizes=(L,) * (self.common_layer_num - 1),
+            output_size=L,
+            norm_type=self.norm_type,
+            output_norm=True,
+            output_activation=True,
+        )
+        self._lstm = nn.OptimizedLSTMCell(features=self.lstm_hidden_size)
+        self._vp_norm = nn.LayerNorm()
+        self._vp_head = MLPTorso(
+            hidden_sizes=(32,),
+            output_size=self.reward_support_size,
+            norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+        )
+        self._common = MLPTorso(
+            hidden_sizes=(L,) * (self.common_layer_num - 1),
+            output_size=L,
+            norm_type=self.norm_type,
+            output_norm=True,
+            output_activation=True,
+        )
+        self._value_head = MLPTorso(
+            hidden_sizes=(32,),
+            output_size=self.value_support_size,
+            norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+        )
+        self._mu_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
+                                 norm_type=self.norm_type)
+        self._sigma_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
+                                    norm_type=self.norm_type)
+        self._proj = SSLProjector()
+
+    def representation(self, obs):
+        return self._repr(obs)
+
+    def prediction(self, latent):
+        x = self._common(latent)
+        value_logits = self._value_head(x)
+        mu = self._mu_head(x)
+        sigma = self.sigma_min + (self.sigma_max - self.sigma_min) * jax.nn.sigmoid(
+            self._sigma_head(x)
+        )
+        return value_logits, mu, sigma
+
+    def init_reward_hidden(self, batch_size: int):
+        z = jnp.zeros((batch_size, self.lstm_hidden_size), jnp.float32)
+        return (z, z)
+
+    def dynamics(self, latent, reward_hidden, action_vec):
+        x = jnp.concatenate([latent, action_vec.astype(latent.dtype)], axis=-1)
+        next_latent = self._dyn_torso(x)
+        carry, out = self._lstm(reward_hidden, next_latent)
+        vp = nn.relu(self._vp_norm(out))
+        value_prefix_logits = self._vp_head(vp)
+        return next_latent, carry, value_prefix_logits
+
+    def initial_inference(self, obs):
+        latent = self._repr(obs)
+        value_logits, mu, sigma = self.prediction(latent)
+        B = latent.shape[0]
+        return dict(
+            value_logits=value_logits,
+            value_prefix_logits=jnp.zeros((B, self.reward_support_size), value_logits.dtype),
+            mu=mu,
+            sigma=sigma,
+            latent_state=latent,
+            reward_hidden=self.init_reward_hidden(B),
+        )
+
+    def recurrent_inference(self, latent, reward_hidden, action_vec):
+        next_latent, carry, value_prefix_logits = self.dynamics(latent, reward_hidden, action_vec)
+        value_logits, mu, sigma = self.prediction(next_latent)
+        return dict(
+            value_logits=value_logits,
+            value_prefix_logits=value_prefix_logits,
+            mu=mu,
+            sigma=sigma,
+            latent_state=next_latent,
+            reward_hidden=carry,
+        )
+
+    def project(self, latent, with_grad: bool = True):
+        return self._proj(latent, with_grad)
+
+    def __call__(self, obs, action_vec):
+        out = self.initial_inference(obs)
+        rec = self.recurrent_inference(out["latent_state"], out["reward_hidden"], action_vec)
+        self._proj(rec["latent_state"], True)
+        self._proj(rec["latent_state"], False)
+        return rec
+
+    def init_params(self, rng, batch_size: int = 1):
+        obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
+        act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
+        return self.init(rng, obs, act)
+
+    @staticmethod
+    def from_config(model_cfg) -> "SampledEfficientZeroModel":
+        kwargs = dict(
+            observation_shape=model_cfg.get("observation_shape", 3),
+            action_space_size=model_cfg.get("action_space_size", 1),
+            latent_state_dim=model_cfg.get("latent_state_dim", 128),
+            lstm_hidden_size=model_cfg.get("lstm_hidden_size", 256),
+            norm_type=model_cfg.get("norm_type", "LN"),
+        )
+        for k in ("value_support_size", "reward_support_size", "sigma_min", "sigma_max"):
+            if k in model_cfg:
+                kwargs[k] = model_cfg[k]
+        return SampledEfficientZeroModel(**kwargs)

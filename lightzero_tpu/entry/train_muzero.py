@@ -124,6 +124,13 @@ def train_muzero(
         f"train_muzero: exp={cfg.exp_name} max_env_step={max_env_step} "
         f"sims={pcfg.num_simulations} batch={batch_size}"
     )
+    # warmup with random actions (reference random_collect, train_muzero.py:143-144)
+    n_warmup = int(pcfg.get("random_collect_episode_num", 0))
+    if n_warmup > 0:
+        from lightzero_tpu.entry.utils import random_collect
+
+        wstats = random_collect(collector, buffer, state.params, num_episodes=n_warmup)
+        logger.info(f"random_collect: {wstats['episodes']} episodes, {wstats['steps']} steps")
     while collector.total_env_steps < max_env_step and train_iter < max_train_iter:
         temperature = visit_count_temperature(
             pcfg.get("manual_temperature_decay", False),
@@ -134,7 +141,17 @@ def train_muzero(
         # ---- eval ----
         if train_iter - last_eval_iter >= eval_freq:
             last_eval_iter = train_iter
-            res = evaluator.eval(state.params, n_episodes=cfg.env.get("n_evaluator_episode", n_eval_envs))
+            from lightzero_tpu.entry.utils import safe_eval
+
+            res = safe_eval(
+                evaluator,
+                state.params,
+                n_episodes=cfg.env.get("n_evaluator_episode", n_eval_envs),
+                timeout_s=float(pcfg.get("eval_timeout_s", 1800.0)),
+            )
+            if res is None:
+                logger.info("safe_eval: evaluation timed out; continuing training")
+                continue
             logger.log_scalars(
                 {"eval_mean_return": res["mean_return"], "eval_max_return": res["max_return"]},
                 collector.total_env_steps,

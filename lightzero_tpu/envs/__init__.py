@@ -3,5 +3,6 @@ from lightzero_tpu.envs import cartpole  # registers 'cartpole'
 from lightzero_tpu.envs.board import tictactoe  # registers 'tictactoe'
 from lightzero_tpu.envs import game_2048  # registers 'game_2048'
 from lightzero_tpu.envs import pendulum  # registers 'pendulum'
+from lightzero_tpu.envs import memory_env  # registers 'memory'
 from lightzero_tpu.envs.board import connect4  # registers 'connect4'
 from lightzero_tpu.envs.board import gomoku  # registers 'gomoku'

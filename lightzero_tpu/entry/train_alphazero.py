@@ -21,6 +21,7 @@ from lightzero_tpu.config import Config, compile_config
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.policy.alphazero import AlphaZeroPolicy, AZTrainBatch
 from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
+from lightzero_tpu.policy.sampled_alphazero import SampledAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.utils import ENV_REGISTRY
 from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
@@ -39,8 +40,8 @@ def train_alphazero(
 ):
     if isinstance(cfg, (list, tuple)):
         cfg = cfg[0]
-    # type dispatch: 'alphazero' (default) or 'gumbel_alphazero'
-    from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
+    # type dispatch: 'alphazero' (default) / 'gumbel_alphazero' /
+    # 'sampled_alphazero' (registered by the module-level imports)
     from lightzero_tpu.utils import POLICY_REGISTRY
 
     policy_type = Config(cfg).get("policy", {}).get("type", "alphazero")

@@ -29,6 +29,15 @@ class SampledEfficientZeroModel(nn.Module):
     last_linear_layer_init_zero: bool = True
     sigma_min: float = 0.1
     sigma_max: float = 1.0
+    # 'conditioned' (learned, bounded [sigma_min, sigma_max]) or 'fixed'
+    # (reference sigma_type/fixed_sigma_value,
+    # sampled_efficientzero_model_mlp.py:42-43 — fixed sigma prevents the
+    # variance-collapse failure mode on pendulum-like tasks)
+    sigma_type: str = "conditioned"
+    fixed_sigma_value: float = 0.3
+    # bound the pre-squash mean so tanh(mu) cannot saturate (caps the
+    # tanh-jacobian density blow-up; reference bound_type)
+    bound_mu: bool = True
 
     def setup(self):
         L = self.latent_state_dim
@@ -74,9 +83,14 @@ class SampledEfficientZeroModel(nn.Module):
         x = self._common(latent)
         value_logits = self._value_head(x)
         mu = self._mu_head(x)
-        sigma = self.sigma_min + (self.sigma_max - self.sigma_min) * jax.nn.sigmoid(
-            self._sigma_head(x)
-        )
+        if self.bound_mu:
+            mu = 1.5 * jnp.tanh(mu)  # tanh(1.5) ~ 0.905 caps squash saturation
+        if self.sigma_type == "fixed":
+            sigma = jnp.full_like(mu, self.fixed_sigma_value)
+        else:
+            sigma = self.sigma_min + (self.sigma_max - self.sigma_min) * jax.nn.sigmoid(
+                self._sigma_head(x)
+            )
         return value_logits, mu, sigma
 
     def init_reward_hidden(self, batch_size: int):
@@ -140,7 +154,8 @@ class SampledEfficientZeroModel(nn.Module):
             lstm_hidden_size=model_cfg.get("lstm_hidden_size", 256),
             norm_type=model_cfg.get("norm_type", "LN"),
         )
-        for k in ("value_support_size", "reward_support_size", "sigma_min", "sigma_max"):
+        for k in ("value_support_size", "reward_support_size", "sigma_min", "sigma_max",
+                  "sigma_type", "fixed_sigma_value", "bound_mu"):
             if k in model_cfg:
                 kwargs[k] = model_cfg[k]
         return SampledEfficientZeroModel(**kwargs)

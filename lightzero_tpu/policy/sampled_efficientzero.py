@@ -145,8 +145,18 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
 
         out0 = self._initial(params, base.obs[:, 0])
 
+        normalize = bool(cfg.get("normalize_prob_of_sampled_actions", False))
+
         def policy_loss_at(mu, sigma, k):
             logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+            if normalize:
+                # normalize densities over the K candidates with a DETACHED
+                # denominator (reference normalize_prob_of_sampled_actions,
+                # sampled_efficientzero.py:673-679) — removes the incentive
+                # to inflate absolute density (sigma collapse)
+                logp = logp - jax.lax.stop_gradient(
+                    jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
+                )
             loss = -jnp.sum(base.target_policy[:, k] * logp, axis=-1)
             ent = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1)
             return loss, ent

@@ -74,6 +74,7 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         cfg = MuZeroPolicy.default_config()
         cfg.type = "sampled_muzero"
         cfg.num_of_sampled_actions = 20
+        cfg.normalize_prob_of_sampled_actions = False
         cfg.model.continuous_action_space = True
         cfg.model.self_supervised_learning_loss = True
         cfg.ssl_loss_weight = 2.0
@@ -168,8 +169,18 @@ class SampledMuZeroPolicy(MuZeroPolicy):
 
         out0 = self._initial(params, base.obs[:, 0])
 
+        normalize = bool(cfg.get("normalize_prob_of_sampled_actions", False))
+
         def policy_loss_at(mu, sigma, k):
             logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+            if normalize:
+                # normalize densities over the K candidates with a DETACHED
+                # denominator (reference normalize_prob_of_sampled_actions,
+                # sampled_efficientzero.py:673-679) — removes the incentive
+                # to inflate absolute density (sigma collapse)
+                logp = logp - jax.lax.stop_gradient(
+                    jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
+                )
             target = base.target_policy[:, k]  # (B, Ks) normalized visits
             loss = -jnp.sum(target * logp, axis=-1)
             ent = jnp.sum(

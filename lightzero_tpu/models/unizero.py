@@ -31,7 +31,8 @@ from lightzero_tpu.models.unizero_world_model.transformer import (
 
 class UniZeroModel(nn.Module):
     observation_shape: Any = 4
-    action_space_size: int = 2
+    action_space_size: int = 2  # number of actions, or action DIM if continuous
+    continuous_action: bool = False  # Sampled UniZero (continuous actions)
     obs_type: str = "vector"  # 'vector' | 'image'
     embed_dim: int = 256
     num_layers: int = 2
@@ -67,7 +68,17 @@ class UniZeroModel(nn.Module):
             )
             self._enc_proj = nn.Dense(D)
         self._simnorm = SimNorm(self.simnorm_dim)
-        self._act_embed = nn.Embed(self.action_space_size, D)
+        if self.continuous_action:
+            self._act_embed_dense = nn.Dense(D)
+        else:
+            self._act_embed = nn.Embed(self.action_space_size, D)
+        if self.continuous_action:
+            # Gaussian policy heads (Sampled UniZero,
+            # lzero/model/sampled_unizero_model.py)
+            self._mu_head = MLPTorso(hidden_sizes=(D,), output_size=self.action_space_size,
+                                     norm_type=self.norm_type)
+            self._sigma_head = MLPTorso(hidden_sizes=(D,), output_size=self.action_space_size,
+                                        norm_type=self.norm_type)
         self._wm = Transformer(self.tcfg)
         head = lambda out: MLPTorso(
             hidden_sizes=(D,),
@@ -76,11 +87,23 @@ class UniZeroModel(nn.Module):
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
         self._value_head = head(self.value_support_size)
-        self._policy_head = head(self.action_space_size)
+        self._policy_head = head(self.action_space_size)  # logits (discrete)
         self._reward_head = head(self.reward_support_size)
         self._obs_head = MLPTorso(
             hidden_sizes=(D,), output_size=D, norm_type=self.norm_type
         )
+
+    def embed_action(self, action):
+        if self.continuous_action:
+            return self._act_embed_dense(action.astype(jnp.float32))
+        return self._act_embed(action)
+
+    def policy_params(self, h):
+        """Continuous policy head: (mu, sigma) with bounded mean and fixed-floor
+        sigma (same conventions as the sampled models)."""
+        mu = 1.5 * jnp.tanh(self._mu_head(h))
+        sigma = 0.1 + 0.9 * jax.nn.sigmoid(self._sigma_head(h))
+        return mu, sigma
 
     # ------------------------------------------------------------ tokenizer
     def encode_obs(self, obs: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +125,7 @@ class UniZeroModel(nn.Module):
         B, K1 = obs_seq.shape[:2]
         K = K1 - 1
         obs_e = jax.vmap(self.encode_obs, in_axes=1, out_axes=1)(obs_seq)  # (B, K+1, D)
-        act_e = self._act_embed(actions)  # (B, K, D)
+        act_e = self.embed_action(actions)  # (B, K, D)
         # interleave [o_0, a_0, o_1, a_1, ..., o_K] -> 2K+1 tokens
         D = obs_e.shape[-1]
         tokens = jnp.zeros((B, 2 * K + 1, D), obs_e.dtype)
@@ -112,13 +135,17 @@ class UniZeroModel(nn.Module):
         x, _ = self._wm(tokens, pos, None)
         obs_positions = x[:, 0::2]  # (B, K+1, D)
         act_positions = x[:, 1::2]  # (B, K, D)
-        return dict(
+        out = dict(
             value_logits=self._value_head(obs_positions),  # (B, K+1, S)
             policy_logits=self._policy_head(obs_positions),  # (B, K+1, A)
             reward_logits=self._reward_head(act_positions),  # (B, K, S)
             obs_pred=self._simnorm(self._obs_head(act_positions)),  # (B, K, D)
             obs_embeddings=obs_e,  # (B, K+1, D)
         )
+        if self.continuous_action:
+            mu, sigma = self.policy_params(obs_positions)
+            out["mu"], out["sigma"] = mu, sigma
+        return out
 
     # --------------------------------------------------------- infer steps
     def infer_obs_step(self, cache: KVCache, obs_embedding: jnp.ndarray):
@@ -128,17 +155,20 @@ class UniZeroModel(nn.Module):
         pos = cache.next_pos[:, None]
         out, cache = self._wm(x, pos, cache)
         h = out[:, 0]
-        return dict(
+        res = dict(
             value_logits=self._value_head(h),
             policy_logits=self._policy_head(h),
             latent=h,
-        ), cache
+        )
+        if self.continuous_action:
+            res["mu"], res["sigma"] = self.policy_params(h)
+        return res, cache
 
     def infer_action_step(self, cache: KVCache, action: jnp.ndarray):
         """Append the action token; heads at it → (reward, predicted next
         obs embedding). Equivalent of forward_recurrent_inference's first
         half (world_model.py:1420)."""
-        x = self._act_embed(action)[:, None, :]
+        x = self.embed_action(action)[:, None, :]
         pos = cache.next_pos[:, None]
         out, cache = self._wm(x, pos, cache)
         h = out[:, 0]
@@ -162,7 +192,11 @@ class UniZeroModel(nn.Module):
             obs = jnp.zeros((batch_size, K + 1, int(self.observation_shape)), jnp.float32)
         else:
             obs = jnp.zeros((batch_size, K + 1) + tuple(self.observation_shape), jnp.float32)
-        return self.init(rng, obs, jnp.zeros((batch_size, K), jnp.int32))
+        if self.continuous_action:
+            act = jnp.zeros((batch_size, K, self.action_space_size), jnp.float32)
+        else:
+            act = jnp.zeros((batch_size, K), jnp.int32)
+        return self.init(rng, obs, act)
 
     @staticmethod
     def from_config(model_cfg) -> "UniZeroModel":
@@ -176,6 +210,7 @@ class UniZeroModel(nn.Module):
         kwargs = dict(
             observation_shape=obs_shape,
             action_space_size=model_cfg.get("action_space_size", 2),
+            continuous_action=model_cfg.get("continuous_action_space", False),
             obs_type=model_cfg.get("obs_type", obs_type),
             embed_dim=wm.get("embed_dim", model_cfg.get("embed_dim", 256)),
             num_layers=wm.get("num_layers", model_cfg.get("num_layers", 2)),

@@ -170,6 +170,13 @@ class MuZeroPolicy:
     # ------------------------------------------------------------------ init
     def _lr_schedule(self):
         cfg = self.cfg
+        if cfg.get("cos_lr_scheduler", False):
+            # reference cos_lr_scheduler (pendulum SEZ config)
+            return optax.cosine_decay_schedule(
+                float(cfg.learning_rate),
+                int(cfg.get("cos_lr_decay_steps", 1e5)),
+                alpha=0.05,
+            )
         if cfg.piecewise_decay_lr_scheduler:
             t = int(cfg.threshold_training_steps_for_final_lr)
             return optax.piecewise_constant_schedule(

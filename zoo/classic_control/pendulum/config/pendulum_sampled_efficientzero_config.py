@@ -15,10 +15,11 @@ main_config = Config(dict(
                    latent_state_dim=128, lstm_hidden_size=128),
         num_simulations=50, num_of_sampled_actions=K, batch_size=256,
         update_per_collect=100, n_episode=8, eval_freq=200,
-        ssl_loss_weight=2, learning_rate=0.003, lstm_horizon_len=5,
+        ssl_loss_weight=2, optim_type="AdamW", learning_rate=1e-4,
+        cos_lr_scheduler=True, lstm_horizon_len=5,
     ),
 ))
 
 if __name__ == "__main__":
     from lightzero_tpu.entry import train_muzero
-    train_muzero(main_config, seed=0, max_env_step=int(2e5))
+    train_muzero(main_config, seed=0, max_env_step=int(1e6))

@@ -1,1 +1,7 @@
-from lightzero_tpu.agent.agent import Agent, MuZeroAgent, EfficientZeroAgent, UniZeroAgent
+from lightzero_tpu.agent.agent import (
+    Agent,
+    MuZeroAgent,
+    EfficientZeroAgent,
+    UniZeroAgent,
+    StochasticMuZeroAgent,
+)

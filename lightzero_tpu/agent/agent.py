@@ -56,6 +56,22 @@ BUNDLED_CONFIGS: Dict[str, Dict[str, Config]] = {
             )
         ),
     },
+    "stochastic_muzero": {
+        "game_2048": Config(
+            dict(
+                env=dict(env_id="game_2048", stop_value=int(1e9), collector_env_num=8,
+                         evaluator_env_num=3, n_evaluator_episode=3),
+                policy=dict(
+                    type="stochastic_muzero",
+                    model=dict(observation_shape=4 * 4 * 16, action_space_size=4,
+                               chance_space_size=32, latent_state_dim=256),
+                    num_simulations=50, batch_size=256, update_per_collect=100,
+                    n_episode=8, eval_freq=200,
+                    use_ture_chance_label_in_chance_encoder=True,
+                ),
+            )
+        ),
+    },
     "unizero": {
         "CartPole-v0": Config(
             dict(
@@ -155,3 +171,7 @@ class EfficientZeroAgent(Agent):
 
 class UniZeroAgent(Agent):
     algo = "unizero"
+
+
+class StochasticMuZeroAgent(Agent):
+    algo = "stochastic_muzero"

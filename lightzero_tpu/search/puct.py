@@ -64,24 +64,48 @@ class _TraverseState(NamedTuple):
     rng: jax.Array
 
 
-def _child_stats(tree: Tree, node: jnp.ndarray):
-    """Gather per-action child statistics for the given (B,) nodes."""
+def _child_stats(tree: Tree, node: jnp.ndarray, gather_mode: str = "dynamic"):
+    """Gather per-action child statistics for the given (B,) nodes.
+
+    gather_mode='onehot' expresses the same reads as one-hot contractions
+    (dense einsum on the MXU) instead of per-lane dynamic gathers — a TPU
+    lowering choice, bit-identical results for the integer/index arrays."""
     B = tree.num_trees
+    N = tree.num_nodes
     bidx = jnp.arange(B)
-    row_children = tree.children[bidx, node]  # (B, A)
-    exists = row_children >= 0
-    safe = jnp.maximum(row_children, 0)
-    b2 = bidx[:, None]
-    child_visit = jnp.where(exists, tree.visit_count[b2, safe], 0)
-    child_vsum = tree.value_sum[b2, safe]
+    dtype = tree.value_sum.dtype
+    if gather_mode == "onehot":
+        node_oh = jax.nn.one_hot(node, N, dtype=dtype)  # (B, N)
+        # N <= a few hundred: int values up to N are exact in f32
+        row_children = jnp.einsum(
+            "bn,bna->ba", node_oh, tree.children.astype(dtype)
+        ).astype(jnp.int32)
+        prior = jnp.einsum("bn,bna->ba", node_oh, tree.prior)
+        legal = jnp.einsum("bn,bna->ba", node_oh, tree.legal.astype(dtype)) > 0.5
+        exists = row_children >= 0
+        safe = jnp.maximum(row_children, 0)
+        child_oh = jax.nn.one_hot(safe, N, dtype=dtype)  # (B, A, N)
+        child_visit = jnp.einsum("ban,bn->ba", child_oh, tree.visit_count.astype(dtype))
+        child_visit = jnp.where(exists, child_visit.astype(jnp.int32), 0)
+        child_vsum = jnp.einsum("ban,bn->ba", child_oh, tree.value_sum)
+        child_reward = jnp.where(
+            exists, jnp.einsum("ban,bn->ba", child_oh, tree.reward), 0.0
+        )
+    else:
+        row_children = tree.children[bidx, node]  # (B, A)
+        exists = row_children >= 0
+        safe = jnp.maximum(row_children, 0)
+        b2 = bidx[:, None]
+        child_visit = jnp.where(exists, tree.visit_count[b2, safe], 0)
+        child_vsum = tree.value_sum[b2, safe]
+        child_reward = jnp.where(exists, tree.reward[b2, safe], 0.0)
+        prior = tree.prior[bidx, node]  # (B, A)
+        legal = tree.legal[bidx, node]  # (B, A)
     child_value = jnp.where(
         exists & (child_visit > 0),
         child_vsum / jnp.maximum(child_visit, 1).astype(child_vsum.dtype),
         0.0,
     )
-    child_reward = jnp.where(exists, tree.reward[b2, safe], 0.0)
-    prior = tree.prior[bidx, node]  # (B, A)
-    legal = tree.legal[bidx, node]  # (B, A)
     return row_children, child_visit, child_value, child_reward, prior, legal
 
 
@@ -177,8 +201,13 @@ def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarra
 
     def body(st: _TraverseState) -> _TraverseState:
         rng, sub = jax.random.split(st.rng)
-        row_children, cvisit, cvalue, creward, prior, legal = _child_stats(tree, st.node)
+        row_children, cvisit, cvalue, creward, prior, legal = _child_stats(
+            tree, st.node, cfg.gather_mode
+        )
         parent_visit = tree.visit_count[bidx, st.node]
+        if cfg.gather_mode == "onehot":
+            node_oh = jax.nn.one_hot(st.node, tree.num_nodes, dtype=dtype)
+            parent_visit = jnp.einsum("bn,bn->b", node_oh, tree.visit_count.astype(dtype)).astype(jnp.int32)
         mean_q = _mean_q(cfg, cvisit, cvalue, creward, legal, st.is_root, st.parent_q)
         scores = _ucb_scores(
             cfg, tree, st.node, parent_visit, cvisit, cvalue, creward, prior, legal, mean_q
@@ -457,7 +486,17 @@ def batch_puct_search(
         rng, t_rng, m_rng = jax.random.split(rng, 3)
         st, parent = _traverse(cfg, tree, t_rng, to_play)
         # model eval: parent embedding + last action -> leaf stats
-        parent_embedding = jax.tree_util.tree_map(lambda e: e[bidx, parent], tree.embedding)
+        if cfg.gather_mode == "onehot":
+            parent_oh = jax.nn.one_hot(parent, tree.num_nodes, dtype=jnp.float32)
+
+            def _gather_emb(e):
+                flat = e.reshape(e.shape[0], e.shape[1], -1).astype(jnp.float32)
+                out = jnp.einsum("bn,bnf->bf", parent_oh, flat)
+                return out.reshape((e.shape[0],) + e.shape[2:]).astype(e.dtype)
+
+            parent_embedding = jax.tree_util.tree_map(_gather_emb, tree.embedding)
+        else:
+            parent_embedding = jax.tree_util.tree_map(lambda e: e[bidx, parent], tree.embedding)
         out = recurrent_fn(params, m_rng, st.last_action, parent_embedding)
         tree = _expand_and_backup(cfg, tree, st._replace(parent=parent), sim, out)
         return (tree, rng), st.depth

@@ -248,3 +248,50 @@ def test_visit_count_invariants():
     )
     np.testing.assert_array_equal(np.asarray(out.visit_counts.sum(-1)), S)
     np.testing.assert_array_equal(np.asarray(out.tree.visit_count[:, 0]), S + 1)
+
+
+def test_onehot_gather_mode_identical():
+    """gather_mode='onehot' (MXU contractions) must produce identical visit
+    counts to the dynamic-gather lowering."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightzero_tpu.search import (
+        RecurrentOutput,
+        RootOutput,
+        SearchConfig,
+        batch_puct_search,
+    )
+
+    B, A, S = 6, 5, 40
+
+    def recurrent_fn(params, r, action, embedding):
+        nl = jnp.tanh(embedding * 1.3 + (action + 1) * 0.37)
+        return RecurrentOutput(
+            reward=jnp.sin(nl * 3.0) * 0.5,
+            value=jnp.cos(nl * 2.0) * 0.5,
+            prior_logits=jnp.stack([jnp.sin(nl * (a + 1) * 1.7) for a in range(A)], -1) * 2.0,
+            embedding=nl,
+        )
+
+    rng = jax.random.PRNGKey(5)
+    root = RootOutput(
+        prior_logits=jax.random.normal(rng, (B, A)),
+        value=jnp.zeros((B,)),
+        embedding=jax.random.normal(rng, (B,)),
+    )
+    legal = jnp.asarray([[True] * A, [True, False, True, False, True]] * 3)
+    outs = {}
+    for mode in ("dynamic", "onehot"):
+        cfg = SearchConfig(num_simulations=S, tie_break="first", gather_mode=mode)
+        outs[mode] = batch_puct_search(
+            None, jax.random.PRNGKey(0), root, recurrent_fn, cfg, legal, with_noise=False
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["dynamic"].visit_counts), np.asarray(outs["onehot"].visit_counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["dynamic"].root_value),
+        np.asarray(outs["onehot"].root_value),
+        rtol=1e-5,
+    )

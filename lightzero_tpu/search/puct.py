@@ -487,11 +487,16 @@ def batch_puct_search(
         st, parent = _traverse(cfg, tree, t_rng, to_play)
         # model eval: parent embedding + last action -> leaf stats
         if cfg.gather_mode == "onehot":
-            parent_oh = jax.nn.one_hot(parent, tree.num_nodes, dtype=jnp.float32)
 
             def _gather_emb(e):
-                flat = e.reshape(e.shape[0], e.shape[1], -1).astype(jnp.float32)
+                # contract in the embedding's own floating dtype (ints are
+                # promoted and rounded back — exact for small index values)
+                cdtype = e.dtype if jnp.issubdtype(e.dtype, jnp.floating) else tree.value_sum.dtype
+                parent_oh = jax.nn.one_hot(parent, tree.num_nodes, dtype=cdtype)
+                flat = e.reshape(e.shape[0], e.shape[1], -1).astype(cdtype)
                 out = jnp.einsum("bn,bnf->bf", parent_oh, flat)
+                if not jnp.issubdtype(e.dtype, jnp.floating):
+                    out = jnp.round(out)
                 return out.reshape((e.shape[0],) + e.shape[2:]).astype(e.dtype)
 
             parent_embedding = jax.tree_util.tree_map(_gather_emb, tree.embedding)

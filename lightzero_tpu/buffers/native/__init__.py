@@ -55,7 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_uint64, i64p, f32p,
     ]
     lib.assemble_unroll.argtypes = [
-        i64p, i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, u8p, f32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_double,
         i64p, u8p, i64p, u8p, f32p, f32p, i64p, u8p, f32p,
     ]
@@ -80,7 +80,8 @@ def sample_prioritized(priorities: np.ndarray, alpha: float, beta: float,
     return idx, w
 
 
-def assemble_unroll(ep_start, ep_len, pos, flat_rewards, K: int, td: int, gamma: float):
+def assemble_unroll(ep_start, ep_len, pos, truncated, flat_rewards, K: int, td: int,
+                    gamma: float):
     lib = _load()
     B = len(pos)
     obs_idx = np.empty((B, K + 1), np.int64)
@@ -96,6 +97,7 @@ def assemble_unroll(ep_start, ep_len, pos, flat_rewards, K: int, td: int, gamma:
         np.ascontiguousarray(ep_start, np.int64),
         np.ascontiguousarray(ep_len, np.int64),
         np.ascontiguousarray(pos, np.int64),
+        np.ascontiguousarray(truncated, np.uint8),
         np.ascontiguousarray(flat_rewards, np.float32),
         B, K, td, gamma,
         obs_idx, obs_valid, action_idx, action_pad, mask,

@@ -67,8 +67,13 @@ void sample_prioritized(
 //   boot_valid   (B, K+1)  1 if the bootstrap obs exists
 //   boot_disc    (B, K+1)  gamma^td_eff (0 when invalid)
 // (reference _compute_target_reward_value, game_buffer_muzero.py:467-577)
+// `truncated[b]`: 1 when the sampled episode was cut by a time limit rather
+// than ending in a terminal state — the n-step horizon is then capped at
+// T-1 so the tail bootstraps from the last stored obs instead of treating
+// beyond-end positions as absorbing zero-value states.
 void assemble_unroll(
     const int64_t* ep_start, const int64_t* ep_len, const int64_t* pos,
+    const uint8_t* truncated,
     const float* flat_rewards, int64_t batch, int64_t K, int64_t td,
     double gamma,
     int64_t* obs_idx, uint8_t* obs_valid, int64_t* action_idx,
@@ -78,6 +83,7 @@ void assemble_unroll(
     const int64_t start = ep_start[b];
     const int64_t T = ep_len[b];
     const int64_t p0 = pos[b];
+    const int64_t horizon = truncated[b] ? T - 1 : T;
     for (int64_t k = 0; k <= K; ++k) {
       const int64_t t = p0 + k;
       const int64_t row = b * (K + 1) + k;
@@ -85,7 +91,8 @@ void assemble_unroll(
       obs_idx[row] = start + (in_ep ? t : T - 1);
       obs_valid[row] = in_ep ? 1 : 0;
       if (in_ep) {
-        int64_t td_eff = td < (T - t) ? td : (T - t);
+        int64_t td_eff = td < (horizon - t) ? td : (horizon - t);
+        if (td_eff < 0) td_eff = 0;
         double rsum = 0.0, disc = 1.0;
         for (int64_t i = 0; i < td_eff; ++i) {
           rsum += disc * (double)flat_rewards[start + t + i];

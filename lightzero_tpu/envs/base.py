@@ -25,6 +25,10 @@ class EnvStep(NamedTuple):
     # 2048; used by Stochastic MuZero's use_true_chance_label path). 0 for
     # deterministic envs.
     chance: jnp.ndarray = jnp.int32(0)
+    # episode ended by a time limit rather than a terminal state (gym
+    # truncated semantics): value targets should bootstrap at the boundary
+    # instead of treating it as absorbing. Only meaningful when done=True.
+    truncated: jnp.ndarray = jnp.bool_(False)
 
 
 class JaxEnv:
@@ -47,3 +51,10 @@ class JaxEnv:
 
     def legal_mask(self, state: Any) -> jnp.ndarray:
         raise NotImplementedError
+
+    def initial_to_play(self, state: Any) -> jnp.ndarray:
+        """Player at a fresh state for MCTS backup semantics: -1 for 1-player
+        envs AND for board games in play_with_bot/eval mode (the reference
+        sets to_play=-1 there, tictactoe_env.py:176-184); the actual player
+        only in self-play mode."""
+        return jnp.full((), -1, jnp.int32)

@@ -129,5 +129,16 @@ class Connect4Env(JaxEnv):
             reward=reward.astype(jnp.float32),
             done=ns.done,
             legal_mask=self.legal_mask(out_s),
-            to_play=out_s.to_play,
+            # reference sets to_play=-1 outside self-play (1p MCTS backup
+            # semantics; tictactoe_env.py:235-251)
+            to_play=(
+                out_s.to_play
+                if self.battle_mode == "self_play_mode"
+                else jnp.full((), -1, jnp.int32)
+            ),
         )
+
+    def initial_to_play(self, state):
+        if self.battle_mode == "self_play_mode":
+            return state.to_play.astype(jnp.int32)
+        return jnp.full((), -1, jnp.int32)

@@ -67,11 +67,9 @@ class CartPoleEnv(JaxEnv):
         t = state.t + 1
         new_state = CartPoleState(x, x_dot, theta, theta_dot, t)
 
-        done = (
-            (jnp.abs(x) > X_THRESHOLD)
-            | (jnp.abs(theta) > THETA_THRESHOLD)
-            | (t >= self.max_episode_steps)
-        )
+        failed = (jnp.abs(x) > X_THRESHOLD) | (jnp.abs(theta) > THETA_THRESHOLD)
+        truncated = ~failed & (t >= self.max_episode_steps)
+        done = failed | truncated
         reward = jnp.ones((), jnp.float32)
 
         reset_state, reset_obs = self.reset(rng)
@@ -86,4 +84,5 @@ class CartPoleEnv(JaxEnv):
             done=done,
             legal_mask=jnp.ones((self.action_space_size,), bool),
             to_play=jnp.full((), -1, jnp.int32),
+            truncated=truncated,
         )

@@ -136,7 +136,8 @@ class Game2048Env(JaxEnv):
         chance = jnp.where(moved, chance, 0)
         t = s.t + 1
         no_moves = ~jnp.any(self._legal(board))
-        done = no_moves | (t >= self.max_episode_steps)
+        truncated = ~no_moves & (t >= self.max_episode_steps)
+        done = no_moves | truncated
         ns = G2048State(board=board, score=s.score + reward, t=t)
 
         reset_state, reset_obs = self.reset(reset_rng)
@@ -146,6 +147,7 @@ class Game2048Env(JaxEnv):
             obs=self.observation(out),
             reward=reward.astype(jnp.float32),
             done=done,
+            truncated=truncated,
             legal_mask=self._legal(out.board),
             to_play=jnp.full((), -1, jnp.int32),
             chance=chance,

@@ -92,4 +92,5 @@ class PendulumEnv(JaxEnv):
             done=done,
             legal_mask=self.legal_mask(out),
             to_play=jnp.full((), -1, jnp.int32),
+            truncated=done,  # pendulum only ends by time limit
         )

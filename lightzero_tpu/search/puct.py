@@ -75,21 +75,25 @@ def _child_stats(tree: Tree, node: jnp.ndarray, gather_mode: str = "dynamic"):
     bidx = jnp.arange(B)
     dtype = tree.value_sum.dtype
     if gather_mode == "onehot":
-        node_oh = jax.nn.one_hot(node, N, dtype=dtype)  # (B, N)
-        # N <= a few hundred: int values up to N are exact in f32
+        # index/count contractions are ALWAYS f32 regardless of the tree
+        # value dtype: node indices up to num_nodes are exact in f32 (<2^24)
+        # but NOT in bf16 (>256 rounds), so a bf16 tree would silently
+        # corrupt traversal for num_simulations > 255 otherwise.
+        idt = jnp.float32
+        node_oh = jax.nn.one_hot(node, N, dtype=idt)  # (B, N)
         row_children = jnp.einsum(
-            "bn,bna->ba", node_oh, tree.children.astype(dtype)
+            "bn,bna->ba", node_oh, tree.children.astype(idt)
         ).astype(jnp.int32)
-        prior = jnp.einsum("bn,bna->ba", node_oh, tree.prior)
-        legal = jnp.einsum("bn,bna->ba", node_oh, tree.legal.astype(dtype)) > 0.5
+        prior = jnp.einsum("bn,bna->ba", node_oh, tree.prior.astype(idt)).astype(dtype)
+        legal = jnp.einsum("bn,bna->ba", node_oh, tree.legal.astype(idt)) > 0.5
         exists = row_children >= 0
         safe = jnp.maximum(row_children, 0)
-        child_oh = jax.nn.one_hot(safe, N, dtype=dtype)  # (B, A, N)
-        child_visit = jnp.einsum("ban,bn->ba", child_oh, tree.visit_count.astype(dtype))
+        child_oh = jax.nn.one_hot(safe, N, dtype=idt)  # (B, A, N)
+        child_visit = jnp.einsum("ban,bn->ba", child_oh, tree.visit_count.astype(idt))
         child_visit = jnp.where(exists, child_visit.astype(jnp.int32), 0)
-        child_vsum = jnp.einsum("ban,bn->ba", child_oh, tree.value_sum)
+        child_vsum = jnp.einsum("ban,bn->ba", child_oh, tree.value_sum.astype(idt)).astype(dtype)
         child_reward = jnp.where(
-            exists, jnp.einsum("ban,bn->ba", child_oh, tree.reward), 0.0
+            exists, jnp.einsum("ban,bn->ba", child_oh, tree.reward.astype(idt)).astype(dtype), 0.0
         )
     else:
         row_children = tree.children[bidx, node]  # (B, A)
@@ -206,8 +210,10 @@ def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarra
         )
         parent_visit = tree.visit_count[bidx, st.node]
         if cfg.gather_mode == "onehot":
-            node_oh = jax.nn.one_hot(st.node, tree.num_nodes, dtype=dtype)
-            parent_visit = jnp.einsum("bn,bn->b", node_oh, tree.visit_count.astype(dtype)).astype(jnp.int32)
+            node_oh = jax.nn.one_hot(st.node, tree.num_nodes, dtype=jnp.float32)
+            parent_visit = jnp.einsum(
+                "bn,bn->b", node_oh, tree.visit_count.astype(jnp.float32)
+            ).astype(jnp.int32)
         mean_q = _mean_q(cfg, cvisit, cvalue, creward, legal, st.is_root, st.parent_q)
         scores = _ucb_scores(
             cfg, tree, st.node, parent_visit, cvisit, cvalue, creward, prior, legal, mean_q
@@ -489,9 +495,10 @@ def batch_puct_search(
         if cfg.gather_mode == "onehot":
 
             def _gather_emb(e):
-                # contract in the embedding's own floating dtype (ints are
-                # promoted and rounded back — exact for small index values)
-                cdtype = e.dtype if jnp.issubdtype(e.dtype, jnp.floating) else tree.value_sum.dtype
+                # contract in the embedding's own floating dtype; integer
+                # embeddings go through f32 (exact below 2^24) so that a
+                # bf16 tree dtype can never round index-like payloads
+                cdtype = e.dtype if jnp.issubdtype(e.dtype, jnp.floating) else jnp.float32
                 parent_oh = jax.nn.one_hot(parent, tree.num_nodes, dtype=cdtype)
                 flat = e.reshape(e.shape[0], e.shape[1], -1).astype(cdtype)
                 out = jnp.einsum("bn,bnf->bf", parent_oh, flat)

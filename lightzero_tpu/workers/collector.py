@@ -24,7 +24,11 @@ from lightzero_tpu.envs.base import JaxEnv
 class _EpisodeBuilder:
     """Accumulates per-env step records across rollout chunks."""
 
-    def __init__(self):
+    def __init__(self, prefix_obs: Optional[np.ndarray] = None):
+        # obs of the frame_stack-1 steps before this record's start (set when
+        # a builder continues an episode that was flushed mid-way), so the
+        # buffer's frame stacking does not zero-pad across the flush boundary
+        self.prefix_obs = prefix_obs
         self.obs: List[np.ndarray] = []
         self.actions: List[int] = []
         self.rewards: List[float] = []
@@ -76,6 +80,7 @@ class _EpisodeBuilder:
                 if self.root_sampled_actions
                 else None
             ),
+            prefix_obs=self.prefix_obs,
         )
         return ep, np.asarray(self.priorities, np.float64)
 
@@ -88,11 +93,19 @@ class RolloutCollector:
         num_envs: int,
         rollout_length: int = 64,
         rng: Optional[jax.Array] = None,
+        flush_min_len: int = 8,
+        frame_stack: int = 1,
     ):
         self.env = env
         self.policy = policy
         self.num_envs = num_envs
         self.rollout_length = rollout_length
+        # min_steps mode flushes partial episodes at least this long as
+        # truncated segments so training can start before the first natural
+        # episode end (reference MuZeroSegmentCollector semantics,
+        # muzero_segment_collector.py:26-30)
+        self.flush_min_len = flush_min_len
+        self.frame_stack = frame_stack
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._builders = [_EpisodeBuilder() for _ in range(num_envs)]
         self.total_env_steps = 0
@@ -107,7 +120,10 @@ class RolloutCollector:
         rngs = jax.random.split(rng, self.num_envs)
         state, obs = jax.vmap(self.env.reset)(rngs)
         legal = jax.vmap(self.env.legal_mask)(state)
-        to_play = jnp.full((self.num_envs,), -1, jnp.int32)
+        # derive the first root's to_play from the env (board self-play envs
+        # return the actual player; -1 otherwise) — hardcoding -1 would
+        # search the first two-player root with 1p backup semantics
+        to_play = jax.vmap(self.env.initial_to_play)(state).astype(jnp.int32)
         collect_state = (
             self.policy.init_collect_state(self.num_envs)
             if getattr(self.policy, "stateful_collect", False)
@@ -142,6 +158,7 @@ class RolloutCollector:
                 action=out["action"],
                 reward=step.reward,
                 done=step.done,
+                truncated=step.truncated,
                 chance=step.chance,
                 visit_counts=out["visit_counts"],
                 searched_value=out["searched_value"],
@@ -211,7 +228,9 @@ class RolloutCollector:
                     )
                     self._env_return[e] += float(records["reward"][t, e])
                     if records["done"][t, e]:
-                        ep, p = b.finish(truncated=False)
+                        ep, p = b.finish(
+                            truncated=bool(np.asarray(records["truncated"])[t, e])
+                        )
                         episodes.append(ep)
                         priorities.append(p)
                         self.episode_returns.append(self._env_return[e])
@@ -222,7 +241,21 @@ class RolloutCollector:
                 break
             if min_steps is not None and steps_taken >= min_steps:
                 # flush sufficiently long partial episodes as truncated so
-                # training can start before the first natural episode end
+                # training can start before the first natural episode end;
+                # the successor builder keeps a frame-stack prefix so obs
+                # stacking does not zero-pad across the flush boundary
+                for e in range(self.num_envs):
+                    b = self._builders[e]
+                    if len(b) >= self.flush_min_len:
+                        ep, p = b.finish(truncated=True)
+                        episodes.append(ep)
+                        priorities.append(p)
+                        prefix = (
+                            ep.obs[-(self.frame_stack - 1):]
+                            if self.frame_stack > 1
+                            else None
+                        )
+                        self._builders[e] = _EpisodeBuilder(prefix_obs=prefix)
                 break
             if num_episodes is None and min_steps is None:
                 break

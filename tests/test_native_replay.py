@@ -39,7 +39,8 @@ def test_assemble_unroll_matches_python():
     ep = np.asarray([s[0] for s in samples], np.int64)
     pos = np.asarray([s[1] for s in samples], np.int64)
     out = native.assemble_unroll(
-        starts[ep], np.asarray(ep_lens, np.int64)[ep], pos, flat_rewards, K, td, gamma
+        starts[ep], np.asarray(ep_lens, np.int64)[ep], pos,
+        np.zeros(len(ep), np.uint8), flat_rewards, K, td, gamma
     )
     for b, (e, p) in enumerate(samples):
         T = ep_lens[e]
@@ -107,3 +108,81 @@ def test_native_batch_equivalent_to_python():
     # actions equal wherever not randomly padded
     m = np.asarray(bp.mask) > 0
     np.testing.assert_array_equal(np.asarray(bn.actions)[m], np.asarray(bp.actions)[m])
+
+
+def test_truncated_episode_tail_bootstraps():
+    """A time-limit-truncated episode's tail value targets must bootstrap
+    from the last stored obs (capped horizon), not absorb to zero — and the
+    native and python paths must agree (VERDICT r1 weak #5)."""
+    from lightzero_tpu.buffers import GameBuffer
+    from lightzero_tpu.policy import MuZeroPolicy
+    from tests_helpers_buffers import fake_episode
+
+    def make_buf(native):
+        cfg = MuZeroPolicy.default_config()
+        cfg.model.latent_state_dim = 16
+        cfg.model.support_scale = 5
+        cfg.use_native_replay = native
+        policy = MuZeroPolicy(cfg)
+        state = policy.init_train_state(jax.random.PRNGKey(0))
+        return cfg, policy, state
+
+    cfg, policy, state = make_buf(True)
+    T = 12
+    ep_term = fake_episode(T=T, seed=3, truncated=False)
+    ep_trunc = ep_term._replace(truncated=True)
+
+    idx = np.asarray([T - 1])  # the final transition
+    w = np.ones(1, np.float32)
+    results = {}
+    for truncated in (False, True):
+        for native in (True, False):
+            buf = GameBuffer(cfg if native else make_buf(False)[0], policy)
+            buf._use_native = native and buf._use_native
+            buf.push_episodes([ep_trunc if truncated else ep_term])
+            batch = buf._make_batch(idx, state.target_params, w)
+            results[(truncated, native)] = np.asarray(batch.target_value)[0, 0]
+    # terminal: no obs beyond t=T-1 → absorbing, target = 0 (td sum empty
+    # beyond end is just the remaining rewards; with pos=T-1 and td=5 the
+    # sum is only r_{T-1} and no bootstrap)
+    r_last = float(ep_term.rewards[T - 1])
+    np.testing.assert_allclose(results[(False, True)], r_last, rtol=1e-5)
+    np.testing.assert_allclose(results[(False, False)], r_last, rtol=1e-5)
+    # truncated: horizon capped at T-1 → td_eff=0, bootstrap v(s_{T-1})
+    # (nonzero in general, and != the terminal-case target)
+    assert results[(True, True)] != results[(False, True)]
+    np.testing.assert_allclose(results[(True, True)], results[(True, False)], rtol=1e-4)
+
+
+def test_flat_dirty_after_reanalyze_buffer(monkeypatch):
+    """reanalyze_buffer mutates stored child_visits in place — the native
+    flat pools must be invalidated so fresh targets are served immediately
+    (ADVICE r1 medium #2)."""
+    import jax.numpy as jnp
+    from lightzero_tpu.buffers import GameBuffer
+    from lightzero_tpu.policy import MuZeroPolicy
+    from tests_helpers_buffers import fake_episode
+
+    cfg = MuZeroPolicy.default_config()
+    cfg.model.latent_state_dim = 16
+    cfg.model.support_scale = 5
+    policy = MuZeroPolicy(cfg)
+    state = policy.init_train_state(jax.random.PRNGKey(0))
+    buf = GameBuffer(cfg, policy)
+    buf.push_episodes([fake_episode(T=10, seed=0)])
+    buf._rebuild_flat()
+    assert not buf._flat_dirty
+
+    A = 2
+
+    def fake_reanalyze(params, rng, obs, legal, to_play):
+        B = obs.shape[0]
+        pol = jnp.full((B, A), 1.0 / A)
+        return pol, jnp.zeros((B,))
+
+    monkeypatch.setattr(policy, "forward_reanalyze", fake_reanalyze)
+    buf.reanalyze_buffer(state.target_params, jax.random.PRNGKey(1),
+                         reanalyze_batch_size=8, partition=1.0)
+    assert buf._flat_dirty  # fresh policies must reach _flat_policies
+    buf._rebuild_flat()
+    np.testing.assert_allclose(buf._flat_policies, 0.5, atol=1e-6)

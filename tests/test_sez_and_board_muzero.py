@@ -59,10 +59,14 @@ def test_board_game_value_targets():
     cfg.model.support_scale = 5
     cfg.env_type = "board_games"
     cfg.discount_factor = 1.0
+    # winner-z targets apply only to self-play trajectories (to_play
+    # alternating in {1,2}); bot-mode rewards are agent-perspective and
+    # keep plain n-step targets (ADVICE r1 medium #1)
+    cfg.battle_mode = "self_play_mode"
     policy = MuZeroPolicy(cfg)
     state = policy.init_train_state(jax.random.PRNGKey(0))
     buffer = GameBuffer(cfg, policy)
-    assert buffer.board_mode
+    assert buffer.board_mode and buffer.winner_z_targets
 
     # 5-move game: players 1,2,1,2,1; player 1 wins on the last move
     T, A = 5, 3
@@ -84,3 +88,34 @@ def test_board_game_value_targets():
         pos = int(buffer._flat_pos[flat_i])
         expected = 1.0 if pos % 2 == 0 else -1.0
         assert tv[b, 0] == expected, (pos, tv[b])
+
+    # final reward < 0 means the LAST MOVER lost: winner flips
+    ep_loss = ep._replace(rewards=np.asarray([0, 0, 0, 0, -1], np.float32))
+    buffer2 = GameBuffer(cfg, policy)
+    buffer2.push_episodes([ep_loss])
+    buffer2._rebuild_flat()
+    z = buffer2._board_game_value_targets(np.asarray([0]))  # pos 0, player 1
+    assert z[0, 0] == -1.0  # player 2 won
+
+    # play_with_bot_mode: constant to_play, agent-perspective rewards →
+    # winner-z must NOT be applied (losses would train as draws)
+    cfg_bot = MuZeroPolicy.default_config()
+    cfg_bot.model.latent_state_dim = 16
+    cfg_bot.model.support_scale = 5
+    cfg_bot.env_type = "board_games"
+    cfg_bot.discount_factor = 1.0
+    cfg_bot.battle_mode = "play_with_bot_mode"
+    buffer3 = GameBuffer(cfg_bot, policy)
+    assert buffer3.board_mode and not buffer3.winner_z_targets
+    ep_bot = ep._replace(
+        to_play=np.ones(T, np.int64),
+        rewards=np.asarray([0, 0, 0, 0, -1], np.float32),  # agent lost
+    )
+    buffer3.push_episodes([ep_bot])
+    batch3, idx3 = buffer3.sample(4, state.target_params)
+    tv3 = np.asarray(batch3.target_value)
+    for b, flat_i in enumerate(idx3):
+        pos = int(buffer3._flat_pos[flat_i])
+        # n-step targets propagate the -1 terminal reward (discount=1,
+        # td_steps >= episode tail), never 0-as-draw
+        assert tv3[b, 0] <= -0.5 or pos + buffer3.td_steps < T, (pos, tv3[b])

@@ -4,7 +4,7 @@ import numpy as np
 from lightzero_tpu.buffers import EpisodeRecord
 
 
-def fake_episode(T=20, A=2, obs_dim=4, seed=0):
+def fake_episode(T=20, A=2, obs_dim=4, seed=0, truncated=False):
     rng = np.random.RandomState(seed)
     visits = rng.randint(1, 10, size=(T, A)).astype(np.float32)
     return EpisodeRecord(
@@ -15,4 +15,5 @@ def fake_episode(T=20, A=2, obs_dim=4, seed=0):
         root_values=rng.randn(T).astype(np.float32),
         legal_mask=np.ones((T, A), bool),
         to_play=np.full(T, -1),
+        truncated=truncated,
     )

@@ -207,16 +207,26 @@ class GameBuffer:
 
     # ------------------------------------------------------------ rezero
     def reanalyze_buffer(self, target_params, rng, reanalyze_batch_size: int = 256,
-                         partition: float = 0.75) -> int:
+                         partition: float = 0.75, reuse_search: bool = False) -> int:
         """ReZero-style periodic whole-buffer reanalyze (reference
         game_buffer_rezero_mz.py:101-147, driven by buffer_reanalyze_freq /
         reanalyze_batch_size / reanalyze_partition,
         train_muzero_segment.py:191-208): re-run the search with the target
         net on the newest ``partition`` of stored transitions (temporal
         backward order) and overwrite the stored policy targets in place.
+
+        ``reuse_search=True`` enables the core ReZero mechanism: episodes are
+        re-searched strictly backward in time so each position's search can
+        reuse the just-computed root value of its successor state via the
+        trajectory's true action (game_buffer_rezero_mz.py:279-310;
+        search_with_reuse, mcts_ctree.py:368-465).
         Returns the number of reanalyzed transitions."""
         import jax as _jax
 
+        if reuse_search:
+            return self._reanalyze_buffer_with_reuse(
+                target_params, rng, reanalyze_batch_size, partition
+            )
         self._rebuild_flat()
         n = self._total_transitions
         budget = int(n * partition)
@@ -254,6 +264,74 @@ class GameBuffer:
         # the native fast path serves policy targets from the contiguous
         # _flat_policies pool — invalidate it so the fresh reanalyzed
         # targets take effect this train round, not after the next push
+        self._flat_dirty = True
+        return done_count
+
+    def _reanalyze_buffer_with_reuse(self, target_params, rng, reanalyze_batch_size: int,
+                                     partition: float) -> int:
+        """Backward-in-time reanalyze with root-value reuse (ReZero).
+
+        Episodes are processed in groups; within a group, iteration k
+        searches every episode's position T_e − k. Iteration 1 (the final
+        position of each episode) runs a plain search; every later iteration
+        passes the previous iteration's root values as ``reuse_value`` with
+        the stored action as ``true_action``, mirroring the reference's
+        per-iter threading (game_buffer_rezero_mz.py:279-310)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        n = self._total_transitions
+        budget = int(n * partition)
+        eps = []  # newest episodes first
+        covered = 0
+        for e in range(len(self._episodes) - 1, -1, -1):
+            eps.append(e)
+            covered += len(self._episodes[e].actions)
+            if covered >= budget:
+                break
+        done_count = 0
+        group_size = max(1, int(reanalyze_batch_size))
+        for gstart in range(0, len(eps), group_size):
+            group = eps[gstart : gstart + group_size]
+            G = group_size  # fixed shape to avoid recompiles
+            maxT = max(len(self._episodes[e].actions) for e in group)
+            reuse_vals = _jnp.zeros((G,), _jnp.float32)
+            for k in range(1, maxT + 1):
+                pos = [len(self._episodes[e].actions) - k for e in group]
+                valid = [p >= 0 for p in pos]
+                if not any(valid):
+                    break
+                rows = []
+                for e, p, v in zip(group, pos, valid):
+                    rows.append((e, max(p, 0), v))
+                while len(rows) < G:
+                    rows.append((group[0], 0, False))
+                obs = np.stack([self._stacked_obs(self._episodes[e], p) for e, p, _ in rows])
+                legal = np.stack([self._episodes[e].legal_mask[p] for e, p, _ in rows])
+                to_play = np.asarray([self._episodes[e].to_play[p] for e, p, _ in rows])
+                acts = np.asarray([self._episodes[e].actions[p] for e, p, _ in rows])
+                rng, r = _jax.random.split(rng)
+                if k == 1:
+                    fresh, vals = self.policy.forward_reanalyze(
+                        target_params, r, _jnp.asarray(obs), _jnp.asarray(legal),
+                        _jnp.asarray(to_play, _jnp.int32),
+                    )
+                else:
+                    fresh, vals = self.policy.forward_reanalyze(
+                        target_params, r, _jnp.asarray(obs), _jnp.asarray(legal),
+                        _jnp.asarray(to_play, _jnp.int32),
+                        true_action=_jnp.asarray(acts, _jnp.int32),
+                        reuse_value=reuse_vals,
+                    )
+                reuse_vals = vals.astype(_jnp.float32)
+                fresh_np = np.asarray(fresh)
+                vals_np = np.asarray(vals)
+                for j, (e, p, v) in enumerate(rows):
+                    if not v:
+                        continue
+                    self._episodes[e].child_visits[p] = fresh_np[j]
+                    self._episodes[e].root_values[p] = vals_np[j]
+                    done_count += 1
         self._flat_dirty = True
         return done_count
 

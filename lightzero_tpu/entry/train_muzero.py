@@ -190,6 +190,7 @@ def train_muzero(
                     br_rng,
                     reanalyze_batch_size=int(pcfg.get("reanalyze_batch_size", 256)),
                     partition=float(pcfg.get("reanalyze_partition", 0.75)),
+                    reuse_search=bool(pcfg.get("reuse_search", False)),
                 )
                 logger.info(f"rezero: reanalyzed {n_re} transitions")
         logger.log_scalars(

@@ -138,6 +138,10 @@ class MuZeroPolicy:
                 threshold_training_steps_for_final_temperature=int(1e5),
                 reanalyze_ratio=0.0,
                 reanalyze_noise=True,
+                # ReZero (arXiv:2404.16364): periodic backward-order buffer
+                # reanalyze with root-value reuse (train_rezero.py:49-53;
+                # search_with_reuse, mcts_ctree.py:368-465)
+                reuse_search=False,
             )
         )
 
@@ -396,12 +400,15 @@ class MuZeroPolicy:
             deterministic=False,
         )
 
-    def _forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play):
+    def _forward_reanalyze(
+        self, target_params, rng, obs, legal_mask, to_play, true_action=None, reuse_value=None
+    ):
         """Re-run the search with the target network on stored observations
         and return fresh normalized visit distributions — the reanalyzed
         policy targets (reference _compute_target_policy_reanalyzed,
         game_buffer_muzero.py:578-731; noise per ``reanalyze_noise``,
-        muzero.py:197-198)."""
+        muzero.py:197-198). ``true_action``/``reuse_value`` select the ReZero
+        reuse-search (MCTSCtree.search_with_reuse, mcts_ctree.py:368-465)."""
         out0 = self._initial(target_params, obs)
         root = RootOutput(
             prior_logits=out0.policy_logits,
@@ -417,17 +424,23 @@ class MuZeroPolicy:
             legal_mask,
             to_play=to_play,
             with_noise=bool(self.cfg.get("reanalyze_noise", True)),
+            true_action=true_action,
+            reuse_value=reuse_value,
         )
         counts = search_out.visit_counts.astype(jnp.float32)
         return counts / jnp.maximum(counts.sum(-1, keepdims=True), 1e-9), search_out.root_value
 
-    def forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play=None):
+    def forward_reanalyze(
+        self, target_params, rng, obs, legal_mask, to_play=None, true_action=None, reuse_value=None
+    ):
         if not hasattr(self, "_jit_reanalyze"):
             self._jit_reanalyze = jax.jit(self._forward_reanalyze)
         B = obs.shape[0]
         if to_play is None:
             to_play = jnp.full((B,), -1, jnp.int32)
-        return self._jit_reanalyze(target_params, rng, obs, legal_mask, to_play)
+        return self._jit_reanalyze(
+            target_params, rng, obs, legal_mask, to_play, true_action, reuse_value
+        )
 
     def forward_eval(self, params, rng, obs, legal_mask, to_play=None) -> Dict[str, jnp.ndarray]:
         B = obs.shape[0]

@@ -193,17 +193,38 @@ def _gumbel_traverse(
         virtual_to_play=to_play.astype(jnp.int32),
         leaf_is_terminal_node=jnp.zeros((B,), bool),
         rng=jax.random.PRNGKey(0),
+        path_action=jnp.zeros((B, max_depth), jnp.int32),
+        path_reward=jnp.zeros((B, max_depth), dtype).at[:, 0].set(tree.reward[:, 0]),
+        path_vsum=jnp.zeros((B, max_depth), dtype).at[:, 0].set(tree.value_sum[:, 0]),
+        path_visit=jnp.zeros((B, max_depth), dtype).at[:, 0].set(
+            tree.visit_count[:, 0].astype(dtype)
+        ),
+        path_to_play=jnp.zeros((B, max_depth), jnp.int32).at[:, 0].set(tree.to_play[:, 0]),
+        reuse_hit=jnp.zeros((B,), bool),
     )
 
-    def cond(st: _TraverseState):
+    def cond(carry):
+        t, st = carry
         return ~jnp.all(st.done)
 
-    def body(st: _TraverseState) -> _TraverseState:
+    def body(carry):
+        t, st = carry
         # gumbel-perturbed root action via schedule; gumbel-free interior
         root_a = _root_select(cfg, tree, gumbel, considered_visit)
         int_a = _interior_select(cfg, tree, st.node)
         action = jnp.where(st.is_root, root_a, int_a)
         row_children = tree.children[bidx, st.node]
+        exists = row_children >= 0
+        safe = jnp.maximum(row_children, 0)
+        b2 = bidx[:, None]
+        cvisit = jnp.where(exists, tree.visit_count[b2, safe], 0).astype(dtype)
+        cvsum = jnp.where(exists, tree.value_sum[b2, safe], 0.0)
+        creward = jnp.where(exists, tree.reward[b2, safe], 0.0)
+        action_oh = jax.nn.one_hot(action, row_children.shape[1], dtype=dtype)
+
+        def sel(row_ba):
+            return jnp.sum(row_ba * action_oh, axis=-1)
+
         next_child = row_children[bidx, action]
         child_is_terminal = jnp.where(
             next_child >= 0, tree.terminal[bidx, jnp.maximum(next_child, 0)], False
@@ -217,22 +238,32 @@ def _gumbel_traverse(
         )
         new_depth = jnp.where(move, st.depth + 1, st.depth)
         new_node = jnp.where(move, next_child, st.node)
-        new_path = st.path.at[bidx, new_depth].set(new_node)
-        return _TraverseState(
+
+        def col(arr, val):
+            return jax.lax.dynamic_update_slice_in_dim(arr, val[:, None], t + 1, axis=1)
+
+        st = _TraverseState(
             node=new_node,
             parent_q=st.parent_q,
             is_root=st.is_root & st.done,
             done=st.done | now_done,
             depth=new_depth,
-            path=new_path,
+            path=col(st.path, new_node),
             parent=jnp.where(now_done & (next_child < 0), st.node, st.parent),
             last_action=jnp.where(st.done, st.last_action, action),
             virtual_to_play=new_vtp,
             leaf_is_terminal_node=jnp.where(now_done, child_is_terminal, st.leaf_is_terminal_node),
             rng=st.rng,
+            path_action=col(st.path_action, action),
+            path_reward=col(st.path_reward, sel(creward)),
+            path_vsum=col(st.path_vsum, sel(cvsum)),
+            path_visit=col(st.path_visit, sel(cvisit)),
+            path_to_play=col(st.path_to_play, new_vtp),
+            reuse_hit=st.reuse_hit,
         )
+        return (t + 1, st)
 
-    st = jax.lax.while_loop(cond, body, init)
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     parent = jnp.where(
         st.leaf_is_terminal_node,
         st.path[jnp.arange(B), jnp.maximum(st.depth - 1, 0)],

@@ -62,6 +62,18 @@ class _TraverseState(NamedTuple):
     virtual_to_play: jnp.ndarray  # (B,)
     leaf_is_terminal_node: jnp.ndarray  # (B,) stopped at existing terminal
     rng: jax.Array
+    # per-depth recordings made during the descent so that backup needs NO
+    # node-indexed gathers (TPU gathers/scatters were the search bottleneck):
+    # position 0 holds the root's pre-backup stats, position i>0 the stats of
+    # the node entered at depth i
+    path_action: jnp.ndarray  # (B, max_depth) action taken into each node
+    path_reward: jnp.ndarray  # (B, max_depth) reward of each path node
+    path_vsum: jnp.ndarray  # (B, max_depth) pre-backup value_sum of each node
+    path_visit: jnp.ndarray  # (B, max_depth) pre-backup visit count
+    path_to_play: jnp.ndarray  # (B, max_depth) to_play of each path node
+    # ReZero reuse-search: True when the root selected the trajectory's true
+    # action (descent stops at depth 1; backup uses the reused value)
+    reuse_hit: jnp.ndarray  # (B,) bool
 
 
 def _child_stats(tree: Tree, node: jnp.ndarray, gather_mode: str = "dynamic"):
@@ -179,13 +191,119 @@ def _select_action(cfg: SearchConfig, rng: jax.Array, scores: jnp.ndarray) -> jn
     return jnp.argmax(jnp.where(near, u, -jnp.inf), axis=-1)
 
 
-def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarray):
-    """Lockstep batched selection from the roots to unexpanded leaves."""
+def _pack_traverse_tables(tree: Tree) -> jnp.ndarray:
+    """Pack everything the traverse loop reads into ONE (B, N, 7A+2) table.
+
+    Tree statistics are invariant during a single traverse (they only change
+    in expand/backup, once per simulation), so per-child stats gathered from
+    the child rows can be flattened into the parent row ONCE per simulation.
+    The while-loop body then gathers a single row per depth step instead of
+    issuing ~6 separate gathers/einsums — the search's sequential bottleneck
+    on TPU was the kernel-launch chain inside this loop.
+
+    Layout along the last axis (A = num_actions):
+      [0:A)   child node index (float; exact below 2^24)
+      [A:2A)  prior
+      [2A:3A) legal (0/1)
+      [3A:4A) child visit count
+      [4A:5A) child value_sum
+      [5A:6A) child reward
+      [6A:7A) child terminal (0/1)
+      [7A]    node's own visit count
+      [7A+1]  node is_chance (0/1)
+    """
+    B, N, A = tree.num_trees, tree.num_nodes, tree.num_actions
+    dtype = tree.value_sum.dtype
+    ch = tree.children
+    exists = ch >= 0
+    # gather per-child stats as ONE batched one-hot matmul — element-wise
+    # dynamic gathers (take_along_axis) cost ~2ms each on TPU at this size
+    # while the equivalent (B, N·A, N) × (B, N, 4) contraction is ~50µs
+    cdtype = jnp.promote_types(dtype, jnp.float32)
+    child_oh = jax.nn.one_hot(jnp.maximum(ch, 0).reshape(B, N * A), N, dtype=cdtype)
+    stats_nodes = jnp.stack(
+        [
+            tree.visit_count.astype(cdtype),
+            tree.value_sum.astype(cdtype),
+            tree.reward.astype(cdtype),
+            tree.terminal.astype(cdtype),
+        ],
+        axis=-1,
+    )  # (B, N, 4)
+    child_tab = jax.lax.dot_general(
+        child_oh,
+        stats_nodes,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=cdtype,
+    ).reshape(B, N, A, 4)
+    exists_f = exists.astype(cdtype)[..., None]
+    child_tab = (child_tab * exists_f).astype(dtype)
+    cvisit = child_tab[..., 0]
+    cvsum = child_tab[..., 1]
+    creward = child_tab[..., 2]
+    cterm = child_tab[..., 3]
+    return jnp.concatenate(
+        [
+            ch.astype(dtype),
+            tree.prior.astype(dtype),
+            tree.legal.astype(dtype),
+            cvisit,
+            cvsum,
+            creward,
+            cterm,
+            tree.visit_count[..., None].astype(dtype),
+            tree.is_chance[..., None].astype(dtype),
+        ],
+        axis=2,
+    )
+
+
+def _traverse(
+    cfg: SearchConfig,
+    tree: Tree,
+    rng: jax.Array,
+    to_play: jnp.ndarray,
+    true_action: Optional[jnp.ndarray] = None,
+    reuse_value: Optional[jnp.ndarray] = None,
+):
+    """Lockstep batched selection from the roots to unexpanded leaves.
+
+    ``true_action``/``reuse_value`` enable the ReZero reuse-search variant
+    (cbatch_traverse_with_reuse, ctree_muzero/lib/cnode.cpp:827): the root
+    scores the trajectory's true action with the reused next-state search
+    value via carm_score (cnode.cpp:702 — value-only score once visited),
+    and the descent stops at depth 1 whenever the root picks that action.
+
+    All randomness (tie-break uniforms; chance-node Gumbel sampling in
+    stochastic mode) is pregenerated as (max_depth, B, A) tables indexed by
+    the iteration counter — at iteration t every still-active tree is at
+    depth t, so one noise row per iteration is exactly one row per depth.
+    This keeps the while-loop body free of PRNG kernels.
+    """
     B = tree.num_trees
-    max_depth = tree.num_nodes + 1
+    N = tree.num_nodes
+    A = tree.num_actions
+    max_depth = N + 1
     bidx = jnp.arange(B)
     dtype = tree.value_sum.dtype
 
+    packed = _pack_traverse_tables(tree)
+
+    if cfg.tie_break == "first":
+        noise_u = None
+    else:
+        rng, u_rng = jax.random.split(rng)
+        noise_u = jax.random.uniform(u_rng, (max_depth, B, A), dtype)
+    if cfg.stochastic:
+        rng, g_rng = jax.random.split(rng)
+        # categorical via the Gumbel-max trick so chance sampling needs no
+        # in-loop PRNG (ctree_stochastic cnode.cpp:610-632)
+        noise_g = jax.random.gumbel(g_rng, (max_depth, B, A), dtype)
+    else:
+        noise_g = jnp.zeros((1, 1, 1), dtype)
+
+    # column 0 of the path recordings = the root's pre-backup stats (static
+    # row-0 slices, no gathers)
     init = _TraverseState(
         node=jnp.zeros((B,), jnp.int32),
         parent_q=jnp.zeros((B,), dtype),
@@ -198,39 +316,98 @@ def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarra
         virtual_to_play=to_play.astype(jnp.int32),
         leaf_is_terminal_node=jnp.zeros((B,), bool),
         rng=rng,
+        path_action=jnp.zeros((B, max_depth), jnp.int32),
+        path_reward=jnp.zeros((B, max_depth), dtype).at[:, 0].set(tree.reward[:, 0]),
+        path_vsum=jnp.zeros((B, max_depth), dtype).at[:, 0].set(tree.value_sum[:, 0]),
+        path_visit=jnp.zeros((B, max_depth), dtype).at[:, 0].set(
+            tree.visit_count[:, 0].astype(dtype)
+        ),
+        path_to_play=jnp.zeros((B, max_depth), jnp.int32).at[:, 0].set(tree.to_play[:, 0]),
+        reuse_hit=jnp.zeros((B,), bool),
     )
 
-    def cond(st: _TraverseState):
+    def cond(carry):
+        t, st = carry
         return ~jnp.all(st.done)
 
-    def body(st: _TraverseState) -> _TraverseState:
-        rng, sub = jax.random.split(st.rng)
-        row_children, cvisit, cvalue, creward, prior, legal = _child_stats(
-            tree, st.node, cfg.gather_mode
-        )
-        parent_visit = tree.visit_count[bidx, st.node]
+    def body(carry):
+        t, st = carry
         if cfg.gather_mode == "onehot":
-            node_oh = jax.nn.one_hot(st.node, tree.num_nodes, dtype=jnp.float32)
-            parent_visit = jnp.einsum(
-                "bn,bn->b", node_oh, tree.visit_count.astype(jnp.float32)
-            ).astype(jnp.int32)
+            # f32 one-hot contraction (exact for indices < 2^24) unless the
+            # tree itself is higher precision
+            cdtype = jnp.promote_types(dtype, jnp.float32)
+            node_oh = jax.nn.one_hot(st.node, N, dtype=cdtype)
+            row = jnp.einsum("bn,bnc->bc", node_oh, packed.astype(cdtype)).astype(dtype)
+        else:
+            row = packed[bidx, st.node]  # (B, 7A+2)
+        row_children = jnp.round(row[:, :A]).astype(jnp.int32)
+        prior = row[:, A : 2 * A]
+        legal = row[:, 2 * A : 3 * A] > 0.5
+        cvisit = row[:, 3 * A : 4 * A]
+        cvsum = row[:, 4 * A : 5 * A]
+        creward = row[:, 5 * A : 6 * A]
+        cterm = row[:, 6 * A : 7 * A] > 0.5
+        parent_visit = row[:, 7 * A]
+        exists = row_children >= 0
+        cvalue = jnp.where(
+            exists & (cvisit > 0), cvsum / jnp.maximum(cvisit, 1.0), 0.0
+        )
+        cvisit = jnp.where(exists, cvisit, 0.0)
+        creward = jnp.where(exists, creward, 0.0)
+
         mean_q = _mean_q(cfg, cvisit, cvalue, creward, legal, st.is_root, st.parent_q)
         scores = _ucb_scores(
             cfg, tree, st.node, parent_visit, cvisit, cvalue, creward, prior, legal, mean_q
         )
-        action = _select_action(cfg, sub, scores).astype(jnp.int32)
+        if true_action is not None:
+            # carm_score (cnode.cpp:702) for the true-action arm at the root:
+            # once visited, score = normalized(r + γ·(±reuse_value)) with NO
+            # prior/exploration term; unvisited arms keep the normal formula.
+            ta_oh = jax.nn.one_hot(true_action, A, dtype=dtype)
+            r_true = jnp.sum(creward * ta_oh, axis=-1)
+            visited_true = jnp.sum(cvisit * ta_oh, axis=-1) > 0
+            if cfg.players == 1:
+                q_arm = r_true + cfg.discount * reuse_value.astype(dtype)
+            else:
+                q_arm = r_true + cfg.discount * (-reuse_value.astype(dtype))
+            v_arm = jnp.clip(
+                minmax_normalize(tree.vmin, tree.vmax, cfg.value_delta_max, q_arm), 0.0, 1.0
+            )
+            override = (st.is_root & visited_true)[:, None] & (ta_oh > 0.5)
+            scores = jnp.where(override, v_arm[:, None], scores)
+        if cfg.tie_break == "first":
+            action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        else:
+            max_s = jnp.max(scores, axis=-1, keepdims=True)
+            near = scores >= max_s - cfg.tie_break_epsilon
+            u = jax.lax.dynamic_index_in_dim(noise_u, t, 0, keepdims=False)
+            action = jnp.argmax(jnp.where(near, u, -jnp.inf), axis=-1).astype(jnp.int32)
         if cfg.stochastic:
             # chance nodes sample the outcome from the prior distribution
-            # (ctree_stochastic cnode.cpp:610-632)
-            rng, c_rng = jax.random.split(rng)
             chance_logits = jnp.where(legal, jnp.log(jnp.maximum(prior, 1e-30)), -jnp.inf)
-            sampled = jax.random.categorical(c_rng, chance_logits, axis=-1).astype(jnp.int32)
-            node_is_chance = tree.is_chance[bidx, st.node]
+            gn = jax.lax.dynamic_index_in_dim(noise_g, t, 0, keepdims=False)
+            sampled = jnp.argmax(chance_logits + gn, axis=-1).astype(jnp.int32)
+            node_is_chance = row[:, 7 * A + 1] > 0.5
             action = jnp.where(node_is_chance, sampled, action)
-        next_child = row_children[bidx, action]
-        child_is_terminal = jnp.where(
-            next_child >= 0, tree.terminal[bidx, jnp.maximum(next_child, 0)], False
-        )
+        action_oh = jax.nn.one_hot(action, A, dtype=dtype)
+
+        def sel(row_ba):
+            return jnp.sum(row_ba * action_oh, axis=-1)
+
+        next_child = jnp.round(sel(row_children.astype(dtype))).astype(jnp.int32)
+        child_is_terminal = sel(cterm.astype(dtype)) > 0.5
+        entered_reward = sel(creward)
+        entered_vsum = sel(cvsum)
+        entered_visit = sel(cvisit)
+        if true_action is not None:
+            # ReZero: the descent BREAKS whenever the root picks the true
+            # action (cnode.cpp:894-897); if that child already exists it is
+            # re-used without expansion, like a terminal stop
+            reuse_stop = st.is_root & (~st.done) & (action == true_action)
+            stop_exist = reuse_stop & (next_child >= 0)
+            child_is_terminal = child_is_terminal | stop_exist
+        else:
+            reuse_stop = jnp.zeros_like(st.done)
         # traverse ends at a virtual child (to expand) or an existing
         # terminal node (re-evaluated, not expanded)
         now_done = (~st.done) & ((next_child < 0) | child_is_terminal)
@@ -243,24 +420,36 @@ def _traverse(cfg: SearchConfig, tree: Tree, rng: jax.Array, to_play: jnp.ndarra
         )
         new_depth = jnp.where(move, st.depth + 1, st.depth)
         new_node = jnp.where(move, next_child, st.node)
-        new_path = st.path.at[bidx, new_depth].set(new_node)
-        return _TraverseState(
+        # at iteration t every mover lands at depth t+1, so the path write is
+        # a single column update; stalled/done lanes write garbage into
+        # column t+1 beyond their own depth, which backup masks out
+        def col(arr, val):
+            return jax.lax.dynamic_update_slice_in_dim(arr, val[:, None], t + 1, axis=1)
+
+        st = _TraverseState(
             node=new_node,
             parent_q=jnp.where(st.done, st.parent_q, mean_q),
             is_root=st.is_root & st.done,
             done=st.done | now_done,
             depth=new_depth,
-            path=new_path,
+            path=col(st.path, new_node),
             parent=jnp.where(now_done & (next_child < 0), st.node, st.parent),
             last_action=jnp.where(st.done, st.last_action, action),
             virtual_to_play=new_vtp,
             leaf_is_terminal_node=jnp.where(
                 now_done, child_is_terminal, st.leaf_is_terminal_node
             ),
-            rng=rng,
+            rng=st.rng,
+            path_action=col(st.path_action, action),
+            path_reward=col(st.path_reward, entered_reward),
+            path_vsum=col(st.path_vsum, entered_vsum),
+            path_visit=col(st.path_visit, entered_visit),
+            path_to_play=col(st.path_to_play, new_vtp),
+            reuse_hit=st.reuse_hit | reuse_stop,
         )
+        return (t + 1, st)
 
-    st = jax.lax.while_loop(cond, body, init)
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     # for trees that stopped at an existing terminal node, the "parent" used
     # for model eval is the node holding that terminal child's predecessor
     # embedding; the leaf for backup is the terminal node itself (st.node)
@@ -275,9 +464,12 @@ def _expand_and_backup(
     sim: jnp.ndarray,
     out: RecurrentOutput,
     prior_is_logits: bool = False,
+    value_override: Optional[jnp.ndarray] = None,
 ) -> Tree:
     """Expand the leaves (node index sim+1) and back the values up the paths
-    (batch_backpropagate, ptree_mz.py:565-602)."""
+    (batch_backpropagate, ptree_mz.py:565-602). ``value_override`` replaces
+    the backed-up leaf value per lane where finite (ReZero reuse,
+    cbatch_backpropagate_with_reuse, cnode.cpp:502)."""
     B = tree.num_trees
     A = tree.num_actions
     bidx = jnp.arange(B)
@@ -302,38 +494,34 @@ def _expand_and_backup(
         prior = jnp.where(legal_mask, prior, 0.0)
 
     exp_b = do_expand
-    children = tree.children.at[bidx, st.parent, st.last_action].set(
-        jnp.where(exp_b, new_idx, tree.children[bidx, st.parent, st.last_action])
+
+    def _row_write(arr, new_row):
+        """Write row `new_idx` (uniform across the batch — node i is the node
+        expanded by simulation i) where exp_b, via dynamic slices instead of
+        per-lane scatters."""
+        old = jax.lax.dynamic_slice_in_dim(arr, new_idx, 1, axis=1)  # (B, 1, ...)
+        m = exp_b.reshape((B, 1) + (1,) * (arr.ndim - 2))
+        row = jnp.where(m, new_row[:, None], old)
+        return jax.lax.dynamic_update_slice_in_dim(arr, row, new_idx, axis=1)
+
+    # children[b, parent_b, action_b] = new_idx where expanding: a fused
+    # one-hot masked rewrite instead of a gather+scatter pair
+    link_mask = (
+        (jnp.arange(tree.num_nodes)[None, :, None] == st.parent[:, None, None])
+        & (jnp.arange(A)[None, None, :] == st.last_action[:, None, None])
+        & exp_b[:, None, None]
     )
-    prior_arr = tree.prior.at[bidx, new_idx].set(
-        jnp.where(exp_b[:, None], prior, tree.prior[bidx, new_idx])
-    )
-    legal_arr = tree.legal.at[bidx, new_idx].set(
-        jnp.where(exp_b[:, None], legal_mask, tree.legal[bidx, new_idx])
-    )
-    reward_arr = tree.reward.at[bidx, new_idx].set(
-        jnp.where(exp_b, out.reward.astype(dtype), tree.reward[bidx, new_idx])
-    )
-    raw_value_arr = tree.raw_value.at[bidx, new_idx].set(
-        jnp.where(exp_b, out.value.astype(dtype), tree.raw_value[bidx, new_idx])
-    )
-    to_play_arr = tree.to_play.at[bidx, new_idx].set(
-        jnp.where(exp_b, st.virtual_to_play, tree.to_play[bidx, new_idx])
-    )
-    terminal_arr = tree.terminal.at[bidx, new_idx].set(
-        jnp.where(exp_b, terminal, tree.terminal[bidx, new_idx])
-    )
+    children = jnp.where(link_mask, new_idx, tree.children)
+    prior_arr = _row_write(tree.prior, prior)
+    legal_arr = _row_write(tree.legal, legal_mask)
+    reward_arr = _row_write(tree.reward, out.reward.astype(dtype))
+    raw_value_arr = _row_write(tree.raw_value, out.value.astype(dtype))
+    to_play_arr = _row_write(tree.to_play, st.virtual_to_play)
+    terminal_arr = _row_write(tree.terminal, terminal)
     leaf_is_chance = out.is_chance if out.is_chance is not None else jnp.zeros((B,), bool)
-    is_chance_arr = tree.is_chance.at[bidx, new_idx].set(
-        jnp.where(exp_b, leaf_is_chance, tree.is_chance[bidx, new_idx])
-    )
+    is_chance_arr = _row_write(tree.is_chance, leaf_is_chance)
 
-    def write_embedding(store, new):
-        extra = (1,) * (new.ndim - 1)
-        m = exp_b.reshape(B, *extra)
-        return store.at[bidx, new_idx].set(jnp.where(m, new, store[bidx, new_idx]))
-
-    embedding = jax.tree_util.tree_map(write_embedding, tree.embedding, out.embedding)
+    embedding = jax.tree_util.tree_map(_row_write, tree.embedding, out.embedding)
 
     tree = tree._replace(
         children=children,
@@ -350,49 +538,55 @@ def _expand_and_backup(
     # --- backup ---
     # full path: recorded path (existing nodes) + the new leaf appended for
     # expanding trees; terminal-stopped trees already have the leaf at
-    # path[depth].
+    # path[depth]. All per-node stats were RECORDED during the descent, so
+    # backup is pure (B, P) elementwise math — no node-indexed gathers.
     leaf_pos = jnp.where(do_expand, st.depth + 1, st.depth)
-    path = st.path.at[bidx, leaf_pos].set(leaf)
+    P = st.path.shape[1]
+    pos = jnp.arange(P)[None, :]
+    exp_mask = (pos == leaf_pos[:, None]) & do_expand[:, None]  # (B, P)
+    path = jnp.where(exp_mask, new_idx, st.path)
+    node_r = jnp.where(exp_mask, out.reward.astype(dtype)[:, None], st.path_reward)
+    pre_vsum = jnp.where(exp_mask, 0.0, st.path_vsum)
+    pre_visit = jnp.where(exp_mask, 0.0, st.path_visit)
     path_len = leaf_pos + 1  # number of valid entries
     value = out.value.astype(dtype)
+    if value_override is not None:
+        value = jnp.where(st.reuse_hit, value_override.astype(dtype), value)
     leaf_to_play = st.virtual_to_play
 
-    max_len = path.shape[1]
-    P = max_len
-    b2 = bidx[:, None]
-    # gather everything along the path ONCE (one scatter at the end instead
-    # of a scatter per path position — the backup was the search's
-    # sequential-bottleneck kernel)
-    valid = jnp.arange(P)[None, :] < path_len[:, None]  # (B, P)
-    path_nodes = jnp.where(valid, path, 0)
-    node_r = tree.reward[b2, path_nodes]  # (B, P)
+    valid = pos < path_len[:, None]  # (B, P)
     if cfg.players == 2:
-        same = tree.to_play[b2, path_nodes] == leaf_to_play[:, None]
+        tp_path = jnp.where(exp_mask, leaf_to_play[:, None], st.path_to_play)
+        same = tp_path == leaf_to_play[:, None]
 
-    # bootstrap recurrence (right-to-left): boot_{i} entering node i;
-    # boot_{L-1} = leaf value, boot_{i} = ±r_{i+1} + γ·boot_{i+1}
-    def boot_step(carry, xs):
-        r_next, same_next, valid_next = xs
-        if cfg.players == 1:
-            nxt = r_next + cfg.discount * carry
-        else:
-            nxt = jnp.where(same_next, -r_next, r_next) + cfg.discount * carry
-        carry = jnp.where(valid_next, nxt, carry)
-        return carry, carry
-
-    # scan from i = L-1 down to 0: at step for position i we fold in r_{i+1}
-    rs = jnp.flip(node_r, axis=1).T  # (P, B) reversed: position L-1 first
-    if cfg.players == 2:
-        ss = jnp.flip(same, axis=1).T
+    # bootstrap recurrence (right-to-left): contrib_{L-1} = leaf value,
+    # contrib_i = ±r_{i+1} + γ·contrib_{i+1}. This is a suffix composition of
+    # affine maps g_i(x) = a_i·x + b_i with a_i = γ, b_i = ±r_{i+1} for valid
+    # positions (identity past the leaf), computed with an associative scan
+    # (O(log P) sequential depth instead of a P-step sequential scan — the
+    # per-simulation backup was the search's dominant kernel chain on TPU).
+    if cfg.players == 1:
+        r_signed = node_r
     else:
-        ss = jnp.zeros((P, B), bool)
-    vs = jnp.flip(valid, axis=1).T
-    # contributions: position i gets the bootstrap BEFORE folding r_i
-    _, boots_rev = jax.lax.scan(boot_step, value, (rs, ss, vs))
-    # boots_rev[j] = bootstrap AFTER processing reversed position j; the
-    # contribution at reversed position j is the bootstrap BEFORE it
-    boots_before = jnp.concatenate([value[None], boots_rev[:-1]], axis=0)  # (P, B)
-    contrib = jnp.flip(boots_before.T, axis=1)  # (B, P), aligned to path pos
+        r_signed = jnp.where(same, -node_r, node_r)
+    # shift left: position i folds in reward/validity of position i+1
+    r_next = jnp.concatenate([r_signed[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)
+    valid_next = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    a_elems = jnp.where(valid_next, jnp.asarray(cfg.discount, dtype), 1.0)
+    b_elems = jnp.where(valid_next, r_next, 0.0)
+
+    def compose(left, right):
+        # reverse=True folds with the accumulated suffix as the LEFT operand,
+        # so combine as (right ∘ left)(x) = a_r·(a_l·x + b_l) + b_r, giving
+        # suffix[i] = g_i ∘ g_{i+1} ∘ … ∘ g_{P-1}
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_r * a_l, a_r * b_l + b_r
+
+    A_sfx, B_sfx = jax.lax.associative_scan(
+        compose, (a_elems, b_elems), reverse=True, axis=1
+    )
+    contrib = A_sfx * value[:, None] + B_sfx  # (B, P), aligned to path pos
 
     if cfg.players == 2:
         contrib_signed = jnp.where(same, contrib, -contrib)
@@ -400,10 +594,21 @@ def _expand_and_backup(
         contrib_signed = contrib
     contrib_signed = jnp.where(valid, contrib_signed, 0.0)
 
-    vsum = tree.value_sum.at[b2, path_nodes].add(contrib_signed)
-    visit = tree.visit_count.at[b2, path_nodes].add(valid.astype(jnp.int32))
+    # scatter-add via one-hot contraction (each path node appears exactly
+    # once per path, so the sum has a single term per node — exact)
+    cdtype = jnp.promote_types(dtype, jnp.float32)
+    path_oh = jax.nn.one_hot(path, tree.num_nodes, dtype=cdtype) * valid[
+        ..., None
+    ].astype(cdtype)  # (B, P, N)
+    vsum_add = jnp.einsum("bpn,bp->bn", path_oh, contrib_signed.astype(cdtype))
+    visit_add = jnp.sum(path_oh, axis=1)
+    vsum = tree.value_sum + vsum_add.astype(dtype)
+    visit = tree.visit_count + jnp.round(visit_add).astype(jnp.int32)
 
-    node_value = vsum[b2, path_nodes] / jnp.maximum(visit[b2, path_nodes], 1).astype(dtype)
+    # post-backup node value from the recorded pre-backup stats: each path
+    # node received exactly this backup's contribution once
+    new_visit_p = pre_visit + 1.0
+    node_value = (pre_vsum + contrib_signed) / new_visit_p
     if cfg.players == 1:
         q = node_r + cfg.discount * node_value
     else:
@@ -470,11 +675,15 @@ def batch_puct_search(
     to_play: Optional[jnp.ndarray] = None,
     with_noise: bool = True,
     noise: Optional[jnp.ndarray] = None,
+    true_action: Optional[jnp.ndarray] = None,
+    reuse_value: Optional[jnp.ndarray] = None,
 ) -> SearchOutput:
     """Run the full batched search; everything stays on device.
 
     Equivalent of MuZeroMCTSCtree.search (mcts_ctree.py:265-366) +
-    roots.prepare, as ONE compiled function.
+    roots.prepare, as ONE compiled function. Passing ``true_action`` +
+    ``reuse_value`` selects the ReZero reuse-search variant
+    (MuZeroMCTSCtree.search_with_reuse, mcts_ctree.py:368-465).
     """
     B, A = legal_mask.shape
     N = cfg.num_simulations + 1
@@ -490,7 +699,7 @@ def batch_puct_search(
     def sim_body(carry, sim):
         tree, rng = carry
         rng, t_rng, m_rng = jax.random.split(rng, 3)
-        st, parent = _traverse(cfg, tree, t_rng, to_play)
+        st, parent = _traverse(cfg, tree, t_rng, to_play, true_action, reuse_value)
         # model eval: parent embedding + last action -> leaf stats
         if cfg.gather_mode == "onehot":
 
@@ -510,7 +719,9 @@ def batch_puct_search(
         else:
             parent_embedding = jax.tree_util.tree_map(lambda e: e[bidx, parent], tree.embedding)
         out = recurrent_fn(params, m_rng, st.last_action, parent_embedding)
-        tree = _expand_and_backup(cfg, tree, st._replace(parent=parent), sim, out)
+        tree = _expand_and_backup(
+            cfg, tree, st._replace(parent=parent), sim, out, value_override=reuse_value
+        )
         return (tree, rng), st.depth
 
     (tree, _), depths = jax.lax.scan(

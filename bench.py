@@ -22,7 +22,7 @@ from lightzero_tpu.utils.jax_setup import setup_jax
 setup_jax()
 
 
-def bench_search(batch_size=1024, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
+def bench_search(batch_size=4096, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
     from lightzero_tpu.policy import MuZeroPolicy
 
     cfg = MuZeroPolicy.default_config()
@@ -82,7 +82,7 @@ def main():
             {
                 "metric": "mcts_sims_per_sec_per_chip",
                 "value": round(sims_per_sec, 1),
-                "unit": "sims/s (batch=1024, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
+                "unit": "sims/s (batch=4096, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "search_latency_ms": round(latency * 1e3, 2),
             }

@@ -426,12 +426,40 @@ class GameBuffer:
             if hasattr(self, "_re_rng")
             else jax.random.split(jax.random.PRNGKey(int(self._rng.randint(1 << 30))))
         )
+        ctx_kwargs = {}
+        if getattr(self.policy, "reanalyze_needs_context", False):
+            # thread the true (obs, action) history into the reanalyze roots
+            # (reference UniZero buffers, game_buffer_unizero.py:400,544)
+            H = int(self.policy.cfg.get("reanalyze_context_steps", 4))
+            if H > 0:
+                oh = np.zeros((n_re, K + 1, H + 1) + obs_shape, np.float32)
+                ah = np.zeros((n_re, K + 1, H), np.int64)
+                hl = np.zeros((n_re, K + 1), np.int64)
+                for b in range(n_re):
+                    e = self._flat_ep[idx[b]]
+                    pos = int(self._flat_pos[idx[b]])
+                    ep = self._episodes[e]
+                    T = len(ep.actions)
+                    for k in range(K + 1):
+                        t = min(pos + k, T - 1)
+                        l = min(t, H)
+                        hl[b, k] = l
+                        for i in range(l + 1):
+                            oh[b, k, H - i] = self._stacked_obs(ep, t - i)
+                        for i in range(l):
+                            ah[b, k, H - 1 - i] = ep.actions[t - 1 - i]
+                ctx_kwargs = dict(
+                    obs_hist=jnp.asarray(oh.reshape((M, H + 1) + obs_shape)),
+                    act_hist=jnp.asarray(ah.reshape(M, H), jnp.int32),
+                    hist_len=jnp.asarray(hl.reshape(M), jnp.int32),
+                )
         fresh_policy, _ = self.policy.forward_reanalyze(
             target_params,
             r,
             jnp.asarray(re_obs.reshape((M,) + obs_shape)),
             jnp.asarray(re_legal.reshape(M, A)),
             jnp.asarray(re_to_play.reshape(M), jnp.int32),
+            **ctx_kwargs,
         )
         self._re_rng = r
         fresh_policy = np.asarray(fresh_policy).reshape(n_re, K + 1, A)

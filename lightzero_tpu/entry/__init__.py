@@ -8,6 +8,7 @@ eval_unizero = eval_muzero
 
 from lightzero_tpu.entry.train_alphazero import train_alphazero
 from lightzero_tpu.entry.train_muzero_multitask import train_muzero_multitask
+from lightzero_tpu.entry.train_multitask_balance import train_multitask_balance
 from lightzero_tpu.entry.train_muzero_with_reward_model import train_muzero_with_reward_model
 from lightzero_tpu.entry.eval_offline import eval_offline
 

@@ -6,3 +6,4 @@ from lightzero_tpu.envs import pendulum  # registers 'pendulum'
 from lightzero_tpu.envs import memory_env  # registers 'memory'
 from lightzero_tpu.envs.board import connect4  # registers 'connect4'
 from lightzero_tpu.envs.board import gomoku  # registers 'gomoku'
+from lightzero_tpu.envs.board import go  # registers "go"

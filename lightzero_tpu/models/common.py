@@ -375,3 +375,68 @@ class SSLProjector(nn.Module):
         y = self.pred_norm(y)
         y = self.activation(y)
         return self.pred[1](y)
+
+
+class LatentDecoder(nn.Module):
+    """1D latent embedding → NHWC image (reference LatentDecoder,
+    common.py:849-906: fc + 3 stride-2 deconv blocks for an 8× upsample) —
+    the inverse of RepresentationNetworkUniZero for image-UniZero
+    reconstruction losses."""
+
+    output_shape: tuple  # (H, W, C)
+    num_channels: int = 64
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray) -> jnp.ndarray:
+        H, W, C = self.output_shape
+        h0, w0 = H // 8, W // 8
+        x = nn.Dense(h0 * w0 * self.num_channels)(embeddings)
+        x = x.reshape(-1, h0, w0, self.num_channels)
+        for ch in (self.num_channels // 2, self.num_channels // 4):
+            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2))(x)
+            x = self.activation(x)
+            x = nn.LayerNorm()(x)
+        x = nn.ConvTranspose(C, (3, 3), strides=(2, 2))(x)
+        return x[:, :H, :W, :]
+
+
+class LatentEncoderForMemoryEnv(nn.Module):
+    """Small-image obs → latent embedding for the memory env family
+    (reference common.py:911-1000: conv stack + adaptive average pool +
+    final fc with SimNorm-compatible output)."""
+
+    embedding_size: int = 100
+    channels: Sequence[int] = (16, 32, 64)
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
+        x = obs
+        for ch in self.channels:
+            x = nn.Conv(ch, (3, 3), padding="SAME")(x)
+            x = self.activation(x)
+            x = nn.LayerNorm()(x)
+        x = jnp.mean(x, axis=(1, 2))  # adaptive average pool → (B, C_last)
+        return nn.Dense(self.embedding_size)(x)
+
+
+class LatentDecoderForMemoryEnv(nn.Module):
+    """Latent embedding → small-image reconstruction for the memory env
+    (reference common.py:1003-1067: fc + deconv stack + sigmoid output)."""
+
+    image_shape: tuple = (5, 5, 3)  # (H, W, C)
+    channels: Sequence[int] = (64, 32, 16)
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray) -> jnp.ndarray:
+        H, W, C = self.image_shape
+        x = nn.Dense(H * W * self.channels[0])(embeddings)
+        x = x.reshape(-1, H, W, self.channels[0])
+        for ch in self.channels[1:]:
+            x = nn.Conv(ch, (3, 3), padding="SAME")(x)
+            x = self.activation(x)
+            x = nn.LayerNorm()(x)
+        x = nn.Conv(C, (3, 3), padding="SAME")(x)
+        return jax.nn.sigmoid(x)

@@ -64,8 +64,16 @@ class MuZeroModel(nn.Module):
     proj_out: int = 1024
     pred_hid: int = 512
     pred_out: int = 1024
+    # HarmonyDream learnable loss weights (reference muzero.py:325-331):
+    # loss_i is divided by exp(h_i) with a log(exp(h_i)+1) regularizer
+    harmony_balance: bool = False
 
     def setup(self):
+        if self.harmony_balance:
+            zero = nn.initializers.zeros
+            self.harmony_policy = self.param("harmony_policy", zero, ())
+            self.harmony_value = self.param("harmony_value", zero, ())
+            self.harmony_reward = self.param("harmony_reward", zero, ())
         if self.model_type == "mlp":
             self._repr = RepresentationNetworkMLP(
                 latent_state_dim=self.latent_state_dim, norm_type=self.norm_type
@@ -209,6 +217,7 @@ class MuZeroModel(nn.Module):
             num_channels=model_cfg.get("num_channels", 64),
             num_res_blocks=model_cfg.get("num_res_blocks", 1),
             downsample=model_cfg.get("downsample", True),
+            harmony_balance=model_cfg.get("harmony_balance", False),
         )
         for k in (
             "value_support_size",

@@ -14,10 +14,22 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lightzero_tpu.models.common import MLPTorso, RepresentationNetworkMLP, SSLProjector
+from lightzero_tpu.models.common import (
+    MLPTorso,
+    PredictionNetworkConv,
+    RepresentationNetworkConv,
+    RepresentationNetworkMLP,
+    ResBlock,
+    SSLProjector,
+)
 
 
 class SampledEfficientZeroModel(nn.Module):
+    """``model_type='conv'`` is the image twin (reference
+    sampled_efficientzero_model.py): conv ResNet trunk, continuous action
+    broadcast as planes into the conv dynamics, value-prefix LSTM fed by a
+    1×1-conv reduction, and concat[mu_raw, sigma_raw] policy output."""
+
     observation_shape: Any = 3
     action_space_size: int = 1  # continuous action dimension
     latent_state_dim: int = 128
@@ -27,6 +39,10 @@ class SampledEfficientZeroModel(nn.Module):
     common_layer_num: int = 2
     norm_type: str = "LN"
     last_linear_layer_init_zero: bool = True
+    model_type: str = "mlp"  # 'mlp' | 'conv'
+    num_channels: int = 64
+    num_res_blocks: int = 1
+    downsample: bool = True
     sigma_min: float = 0.1
     sigma_max: float = 1.0
     # 'conditioned' (learned, bounded [sigma_min, sigma_max]) or 'fixed'
@@ -41,6 +57,38 @@ class SampledEfficientZeroModel(nn.Module):
 
     def setup(self):
         L = self.latent_state_dim
+        if self.model_type == "conv":
+            self._repr = RepresentationNetworkConv(
+                num_channels=self.num_channels,
+                num_res_blocks=self.num_res_blocks,
+                downsample=self.downsample,
+                norm_type=self.norm_type,
+            )
+            self._pred = PredictionNetworkConv(
+                action_space_size=2 * self.action_space_size,
+                value_support_size=self.value_support_size,
+                num_res_blocks=self.num_res_blocks,
+                num_channels=self.num_channels,
+                norm_type=self.norm_type,
+                last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+            )
+            self._dyn_conv = nn.Conv(self.num_channels, (3, 3), padding="SAME", use_bias=False)
+            self._dyn_norm = nn.LayerNorm()
+            self._dyn_blocks = [
+                ResBlock(self.num_channels, self.norm_type) for _ in range(self.num_res_blocks)
+            ]
+            self._vp_reduce = nn.Conv(16, (1, 1), use_bias=False)
+            self._vp_reduce_norm = nn.LayerNorm()
+            self._lstm = nn.OptimizedLSTMCell(features=self.lstm_hidden_size)
+            self._vp_norm = nn.LayerNorm()
+            self._vp_head = MLPTorso(
+                hidden_sizes=(32,),
+                output_size=self.reward_support_size,
+                norm_type=self.norm_type,
+                last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+            )
+            self._proj = SSLProjector()
+            return
         self._repr = RepresentationNetworkMLP(latent_state_dim=L, norm_type=self.norm_type)
         self._dyn_torso = MLPTorso(
             hidden_sizes=(L,) * (self.common_layer_num - 1),
@@ -79,18 +127,27 @@ class SampledEfficientZeroModel(nn.Module):
     def representation(self, obs):
         return self._repr(obs)
 
-    def prediction(self, latent):
-        x = self._common(latent)
-        value_logits = self._value_head(x)
-        mu = self._mu_head(x)
+    def _mu_sigma(self, mu_raw, sigma_raw):
+        mu = mu_raw
         if self.bound_mu:
             mu = 1.5 * jnp.tanh(mu)  # tanh(1.5) ~ 0.905 caps squash saturation
         if self.sigma_type == "fixed":
             sigma = jnp.full_like(mu, self.fixed_sigma_value)
         else:
             sigma = self.sigma_min + (self.sigma_max - self.sigma_min) * jax.nn.sigmoid(
-                self._sigma_head(x)
+                sigma_raw
             )
+        return mu, sigma
+
+    def prediction(self, latent):
+        if self.model_type == "conv":
+            value_logits, ms = self._pred(latent)
+            mu_raw, sigma_raw = jnp.split(ms, 2, axis=-1)
+            mu, sigma = self._mu_sigma(mu_raw, sigma_raw)
+            return value_logits, mu, sigma
+        x = self._common(latent)
+        value_logits = self._value_head(x)
+        mu, sigma = self._mu_sigma(self._mu_head(x), self._sigma_head(x))
         return value_logits, mu, sigma
 
     def init_reward_hidden(self, batch_size: int):
@@ -98,9 +155,26 @@ class SampledEfficientZeroModel(nn.Module):
         return (z, z)
 
     def dynamics(self, latent, reward_hidden, action_vec):
-        x = jnp.concatenate([latent, action_vec.astype(latent.dtype)], axis=-1)
-        next_latent = self._dyn_torso(x)
-        carry, out = self._lstm(reward_hidden, next_latent)
+        if self.model_type == "conv":
+            B, h, w, _ = latent.shape
+            planes = jnp.broadcast_to(
+                action_vec.astype(latent.dtype)[:, None, None, :],
+                (B, h, w, self.action_space_size),
+            )
+            x = jnp.concatenate([latent, planes], axis=-1)
+            x = self._dyn_conv(x)
+            x = self._dyn_norm(x)
+            x = nn.relu(x + latent)
+            for blk in self._dyn_blocks:
+                x = blk(x)
+            next_latent = x
+            r = nn.relu(self._vp_reduce_norm(self._vp_reduce(next_latent)))
+            lstm_in = r.reshape(r.shape[0], -1)
+        else:
+            x = jnp.concatenate([latent, action_vec.astype(latent.dtype)], axis=-1)
+            next_latent = self._dyn_torso(x)
+            lstm_in = next_latent
+        carry, out = self._lstm(reward_hidden, lstm_in)
         vp = nn.relu(self._vp_norm(out))
         value_prefix_logits = self._vp_head(vp)
         return next_latent, carry, value_prefix_logits
@@ -141,21 +215,28 @@ class SampledEfficientZeroModel(nn.Module):
         return rec
 
     def init_params(self, rng, batch_size: int = 1):
-        obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
+        if self.model_type == "conv":
+            obs = jnp.zeros((batch_size,) + tuple(self.observation_shape), jnp.float32)
+        else:
+            obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
         act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
         return self.init(rng, obs, act)
 
     @staticmethod
     def from_config(model_cfg) -> "SampledEfficientZeroModel":
+        obs_shape = model_cfg.get("observation_shape", 3)
+        default_type = "conv" if isinstance(obs_shape, (list, tuple)) else "mlp"
         kwargs = dict(
-            observation_shape=model_cfg.get("observation_shape", 3),
+            observation_shape=tuple(obs_shape) if isinstance(obs_shape, (list, tuple)) else obs_shape,
             action_space_size=model_cfg.get("action_space_size", 1),
             latent_state_dim=model_cfg.get("latent_state_dim", 128),
             lstm_hidden_size=model_cfg.get("lstm_hidden_size", 256),
             norm_type=model_cfg.get("norm_type", "LN"),
+            model_type=model_cfg.get("model_type", default_type),
         )
         for k in ("value_support_size", "reward_support_size", "sigma_min", "sigma_max",
-                  "sigma_type", "fixed_sigma_value", "bound_mu"):
+                  "sigma_type", "fixed_sigma_value", "bound_mu", "num_channels",
+                  "num_res_blocks", "downsample"):
             if k in model_cfg:
                 kwargs[k] = model_cfg[k]
         return SampledEfficientZeroModel(**kwargs)

@@ -15,14 +15,23 @@ import jax
 import jax.numpy as jnp
 
 from lightzero_tpu.models.common import (
+    DynamicsNetworkConv,
     MLPTorso,
     NetworkOutput,
+    PredictionNetworkConv,
+    RepresentationNetworkConv,
     RepresentationNetworkMLP,
     SSLProjector,
 )
 
 
 class SampledMuZeroModel(nn.Module):
+    """``model_type='conv'`` is the image twin (reference
+    sampled_muzero_model.py): conv ResNet trunk, the continuous action
+    broadcast as (B, h, w, action_dim) planes into the conv dynamics, and
+    the policy head emitting concat[mu_raw, sigma_raw] over the conv
+    prediction trunk."""
+
     observation_shape: Any = 3
     action_space_size: int = 1  # continuous action dimension
     latent_state_dim: int = 128
@@ -34,6 +43,10 @@ class SampledMuZeroModel(nn.Module):
     self_supervised_learning_loss: bool = True
     sigma_min: float = 0.1
     sigma_max: float = 1.0
+    model_type: str = "mlp"  # 'mlp' | 'conv'
+    num_channels: int = 64
+    num_res_blocks: int = 1
+    downsample: bool = True
     # 'conditioned' (learned, bounded [sigma_min, sigma_max]) or 'fixed'
     # (reference sigma_type/fixed_sigma_value,
     # sampled_efficientzero_model_mlp.py:42-43 — fixed sigma prevents the
@@ -45,6 +58,10 @@ class SampledMuZeroModel(nn.Module):
     bound_mu: bool = True
 
     def setup(self):
+        if self.model_type == "conv":
+            self._setup_conv()
+            self._proj = SSLProjector()
+            return
         L = self.latent_state_dim
         self._repr = RepresentationNetworkMLP(latent_state_dim=L, norm_type=self.norm_type)
         self._dyn_torso = MLPTorso(
@@ -81,26 +98,67 @@ class SampledMuZeroModel(nn.Module):
         )
         self._proj = SSLProjector()
 
+    def _setup_conv(self):
+        self._repr = RepresentationNetworkConv(
+            num_channels=self.num_channels,
+            num_res_blocks=self.num_res_blocks,
+            downsample=self.downsample,
+            norm_type=self.norm_type,
+        )
+        self._dyn = DynamicsNetworkConv(
+            num_channels=self.num_channels,
+            num_res_blocks=self.num_res_blocks,
+            reward_support_size=self.reward_support_size,
+            norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+        )
+        # policy output = concat[mu_raw, sigma_raw] (reference sampled conv
+        # models emit 2*action_dim policy units)
+        self._pred = PredictionNetworkConv(
+            action_space_size=2 * self.action_space_size,
+            value_support_size=self.value_support_size,
+            num_res_blocks=self.num_res_blocks,
+            num_channels=self.num_channels,
+            norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+        )
+
     def representation(self, obs):
         return self._repr(obs)
 
-    def prediction(self, latent):
-        """→ (value_logits, mu, sigma)."""
-        x = self._common(latent)
-        value_logits = self._value_head(x)
-        mu = self._mu_head(x)
+    def _mu_sigma(self, mu_raw, sigma_raw):
+        mu = mu_raw
         if self.bound_mu:
             mu = 1.5 * jnp.tanh(mu)  # tanh(1.5) ~ 0.905 caps squash saturation
         if self.sigma_type == "fixed":
             sigma = jnp.full_like(mu, self.fixed_sigma_value)
         else:
             sigma = self.sigma_min + (self.sigma_max - self.sigma_min) * jax.nn.sigmoid(
-                self._sigma_head(x)
+                sigma_raw
             )
+        return mu, sigma
+
+    def prediction(self, latent):
+        """→ (value_logits, mu, sigma)."""
+        if self.model_type == "conv":
+            value_logits, ms = self._pred(latent)
+            mu_raw, sigma_raw = jnp.split(ms, 2, axis=-1)
+            mu, sigma = self._mu_sigma(mu_raw, sigma_raw)
+            return value_logits, mu, sigma
+        x = self._common(latent)
+        value_logits = self._value_head(x)
+        mu, sigma = self._mu_sigma(self._mu_head(x), self._sigma_head(x))
         return value_logits, mu, sigma
 
     def dynamics(self, latent, action_vec):
         """action_vec: (B, action_dim) raw continuous action in [-1, 1]."""
+        if self.model_type == "conv":
+            B, h, w, _ = latent.shape
+            planes = jnp.broadcast_to(
+                action_vec.astype(latent.dtype)[:, None, None, :],
+                (B, h, w, self.action_space_size),
+            )
+            return self._dyn(latent, planes)
         x = jnp.concatenate([latent, action_vec.astype(latent.dtype)], axis=-1)
         next_latent = self._dyn_torso(x)
         reward_logits = self._reward_head(next_latent)
@@ -140,20 +198,27 @@ class SampledMuZeroModel(nn.Module):
         return rec
 
     def init_params(self, rng, batch_size: int = 1):
-        obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
+        if self.model_type == "conv":
+            obs = jnp.zeros((batch_size,) + tuple(self.observation_shape), jnp.float32)
+        else:
+            obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
         act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
         return self.init(rng, obs, act)
 
     @staticmethod
     def from_config(model_cfg) -> "SampledMuZeroModel":
+        obs_shape = model_cfg.get("observation_shape", 3)
+        default_type = "conv" if isinstance(obs_shape, (list, tuple)) else "mlp"
         kwargs = dict(
-            observation_shape=model_cfg.get("observation_shape", 3),
+            observation_shape=tuple(obs_shape) if isinstance(obs_shape, (list, tuple)) else obs_shape,
             action_space_size=model_cfg.get("action_space_size", 1),
             latent_state_dim=model_cfg.get("latent_state_dim", 128),
             norm_type=model_cfg.get("norm_type", "LN"),
+            model_type=model_cfg.get("model_type", default_type),
         )
         for k in ("value_support_size", "reward_support_size", "sigma_min", "sigma_max",
-                  "sigma_type", "fixed_sigma_value", "bound_mu"):
+                  "sigma_type", "fixed_sigma_value", "bound_mu", "num_channels",
+                  "num_res_blocks", "downsample"):
             if k in model_cfg:
                 kwargs[k] = model_cfg[k]
         return SampledMuZeroModel(**kwargs)

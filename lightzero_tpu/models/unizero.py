@@ -46,6 +46,20 @@ class UniZeroModel(nn.Module):
     # conv encoder (image obs)
     num_channels: int = 64
     downsample: bool = True
+    # tokenizer decoder for the latent reconstruction loss (tokenizer.py:283)
+    with_decoder: bool = False
+    # image encoder family: 'conv' (ResNet) or 'vit' (reference vit.py)
+    encoder_type: str = "conv"
+    # sparse-MoE feed-forward in the world-model transformer (moe.py)
+    moe_in_transformer: bool = False
+    num_experts: int = 4
+    num_experts_per_tok: int = 1
+    # multitask task-embedding conditioning (world_model_multitask.py)
+    num_tasks: int = 0
+    # CurriculumLoRA (transformer.py:70-219); stage is static per instance
+    lora_r: int = 0
+    curriculum_stage_num: int = 1
+    curriculum_stage: int = 0
 
     def setup(self):
         D = self.embed_dim
@@ -54,6 +68,13 @@ class UniZeroModel(nn.Module):
             num_heads=self.num_heads,
             embed_dim=D,
             max_tokens=self.max_tokens,
+            moe_in_transformer=self.moe_in_transformer,
+            num_experts=self.num_experts,
+            num_experts_per_tok=self.num_experts_per_tok,
+            num_tasks=self.num_tasks,
+            lora_r=self.lora_r,
+            curriculum_stage_num=self.curriculum_stage_num,
+            curriculum_stage=self.curriculum_stage,
         )
         if self.obs_type == "vector":
             self._enc = MLPTorso(
@@ -62,6 +83,10 @@ class UniZeroModel(nn.Module):
                 norm_type=self.norm_type,
                 output_norm=True,
             )
+        elif self.encoder_type == "vit":
+            from lightzero_tpu.models.vit import ViT
+
+            self._enc_vit = ViT(out_dim=D)
         else:
             self._enc_conv = RepresentationNetworkConv(
                 num_channels=self.num_channels, downsample=self.downsample, norm_type=self.norm_type
@@ -92,6 +117,29 @@ class UniZeroModel(nn.Module):
         self._obs_head = MLPTorso(
             hidden_sizes=(D,), output_size=D, norm_type=self.norm_type
         )
+        # tokenizer decoder (reference Tokenizer.decode_to_obs /
+        # decode_to_reconstruction_outputs, tokenizer.py:283-301): maps a
+        # latent embedding back to observation space for the latent
+        # reconstruction loss
+        if self.with_decoder:
+            if self.obs_type == "vector":
+                self._dec = MLPTorso(
+                    hidden_sizes=(D,),
+                    output_size=int(self.observation_shape),
+                    norm_type=self.norm_type,
+                )
+            else:
+                h, w, c = self.observation_shape  # NHWC like the encoder
+                f = 8 if self.downsample else 1
+                self._dec_proj = nn.Dense((h // f) * (w // f) * self.num_channels)
+                self._dec_convs = [
+                    nn.ConvTranspose(self.num_channels, (3, 3), strides=(2, 2))
+                    for _ in range(3 if self.downsample else 0)
+                ]
+                self._dec_out = nn.Conv(c, (3, 3))
+        # adaptive policy-entropy temperature (reference unizero.py:1036-1100:
+        # log_alpha learned against a decaying target entropy)
+        self.log_alpha = self.param("log_alpha", nn.initializers.zeros, ())
 
     def embed_action(self, action):
         if self.continuous_action:
@@ -111,13 +159,29 @@ class UniZeroModel(nn.Module):
         encode_to_obs_embeddings, tokenizer.py:66; SimNorm common.py:145)."""
         if self.obs_type == "vector":
             e = self._enc(obs)
+        elif self.encoder_type == "vit":
+            e = self._enc_vit(obs)
         else:
             e = self._enc_conv(obs)
             e = self._enc_proj(e.reshape(e.shape[0], -1))
         return self._simnorm(e)
 
+    def decode_obs(self, emb: jnp.ndarray) -> jnp.ndarray:
+        """(B, D) embedding → reconstructed observation, NHWC for images
+        (tokenizer.py:283)."""
+        if self.obs_type == "vector":
+            return self._dec(emb)
+        h, w, c = self.observation_shape
+        f = 8 if self.downsample else 1
+        x = self._dec_proj(emb).reshape(emb.shape[0], h // f, w // f, self.num_channels)
+        for conv in self._dec_convs:
+            x = nn.relu(conv(x))
+        x = self._dec_out(x)
+        # crop to the exact size (ConvTranspose may overshoot)
+        return x[:, :h, :w, :]
+
     # ------------------------------------------------------- train forward
-    def train_forward(self, obs_seq: jnp.ndarray, actions: jnp.ndarray):
+    def train_forward(self, obs_seq: jnp.ndarray, actions: jnp.ndarray, task_id=None):
         """obs_seq (B, K+1, *obs), actions (B, K) →
         dict of per-step head outputs (value/policy at obs positions 0..K,
         reward/obs_pred at action positions 0..K-1) + the target obs
@@ -132,7 +196,7 @@ class UniZeroModel(nn.Module):
         tokens = tokens.at[:, 0::2].set(obs_e)
         tokens = tokens.at[:, 1::2].set(act_e)
         pos = jnp.broadcast_to(jnp.arange(2 * K + 1), (B, 2 * K + 1))
-        x, _ = self._wm(tokens, pos, None)
+        x, _ = self._wm(tokens, pos, None, task_id)
         obs_positions = x[:, 0::2]  # (B, K+1, D)
         act_positions = x[:, 1::2]  # (B, K, D)
         out = dict(
@@ -148,12 +212,12 @@ class UniZeroModel(nn.Module):
         return out
 
     # --------------------------------------------------------- infer steps
-    def infer_obs_step(self, cache: KVCache, obs_embedding: jnp.ndarray):
+    def infer_obs_step(self, cache: KVCache, obs_embedding: jnp.ndarray, task_id=None):
         """Append the obs token; heads at it → (value, policy). Equivalent
         of forward_initial_inference (world_model.py:1394)."""
         x = obs_embedding[:, None, :]
         pos = cache.next_pos[:, None]
-        out, cache = self._wm(x, pos, cache)
+        out, cache = self._wm(x, pos, cache, task_id)
         h = out[:, 0]
         res = dict(
             value_logits=self._value_head(h),
@@ -164,13 +228,13 @@ class UniZeroModel(nn.Module):
             res["mu"], res["sigma"] = self.policy_params(h)
         return res, cache
 
-    def infer_action_step(self, cache: KVCache, action: jnp.ndarray):
+    def infer_action_step(self, cache: KVCache, action: jnp.ndarray, task_id=None):
         """Append the action token; heads at it → (reward, predicted next
         obs embedding). Equivalent of forward_recurrent_inference's first
         half (world_model.py:1420)."""
         x = self.embed_action(action)[:, None, :]
         pos = cache.next_pos[:, None]
-        out, cache = self._wm(x, pos, cache)
+        out, cache = self._wm(x, pos, cache, task_id)
         h = out[:, 0]
         return dict(
             reward_logits=self._reward_head(h),
@@ -180,11 +244,51 @@ class UniZeroModel(nn.Module):
     def init_cache(self, batch_size: int) -> KVCache:
         return init_kv_cache(self.tcfg, batch_size)
 
+    def prefill(self, obs_seq: jnp.ndarray, actions: jnp.ndarray, length: jnp.ndarray, task_id=None):
+        """Teacher-force a (obs, action) history into a fresh KV cache and
+        return the root head outputs at the FINAL obs token — the
+        context-threaded reanalyze root (the reference threads batch_action
+        through per-env caches, game_buffer_unizero.py:400,544).
+
+        obs_seq (B, H+1, *obs), actions (B, H); ``length`` (B,) = number of
+        valid history steps per row (0 ≤ length ≤ H): rows with shorter
+        histories mask out their earliest tokens via position -1 slots.
+        """
+        B, H1 = obs_seq.shape[:2]
+        H = H1 - 1
+        obs_e = jax.vmap(self.encode_obs, in_axes=1, out_axes=1)(obs_seq)
+        act_e = self.embed_action(actions)
+        D = obs_e.shape[-1]
+        T = 2 * H + 1
+        tokens = jnp.zeros((B, T, D), obs_e.dtype)
+        tokens = tokens.at[:, 0::2].set(obs_e)
+        tokens = tokens.at[:, 1::2].set(act_e)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
+        # shift so histories of different lengths all END at the same token:
+        # row with length l uses tokens [2(H-l) .. 2H]; earlier slots get
+        # pos=-1 which the attention mask treats as empty
+        start = 2 * (H - length)[:, None]
+        pos = jnp.where(pos >= start, pos - start, -1)
+        cache = self.init_cache(B)
+        x, cache = self._wm(tokens, pos, cache, task_id)
+        h = x[:, -1]
+        res = dict(
+            value_logits=self._value_head(h),
+            policy_logits=self._policy_head(h),
+            latent=h,
+        )
+        if self.continuous_action:
+            res["mu"], res["sigma"] = self.policy_params(h)
+        return res, cache
+
     def __call__(self, obs_seq, actions):
         out = self.train_forward(obs_seq, actions)
         cache = self.init_cache(obs_seq.shape[0])
         o, cache = self.infer_obs_step(cache, out["obs_embeddings"][:, 0])
         a, cache = self.infer_action_step(cache, actions[:, 0])
+        if self.with_decoder:
+            # touch the decoder so init() creates its parameters
+            _ = self.decode_obs(out["obs_embeddings"][:, 0])
         return out
 
     def init_params(self, rng: jax.Array, batch_size: int = 1, K: int = 2):
@@ -219,6 +323,15 @@ class UniZeroModel(nn.Module):
             norm_type=model_cfg.get("norm_type", "LN"),
             num_channels=model_cfg.get("num_channels", 64),
             downsample=model_cfg.get("downsample", True),
+            with_decoder=bool(model_cfg.get("with_decoder", False)),
+            encoder_type=model_cfg.get("encoder_type", wm.get("encoder_type", "conv")),
+            moe_in_transformer=bool(wm.get("moe_in_transformer", model_cfg.get("moe_in_transformer", False))),
+            num_experts=int(wm.get("num_experts", model_cfg.get("num_experts", 4))),
+            num_experts_per_tok=int(wm.get("num_experts_per_tok", model_cfg.get("num_experts_per_tok", 1))),
+            num_tasks=int(wm.get("num_tasks", model_cfg.get("num_tasks", 0))),
+            lora_r=int(wm.get("lora_r", model_cfg.get("lora_r", 0))),
+            curriculum_stage_num=int(wm.get("curriculum_stage_num", model_cfg.get("curriculum_stage_num", 1))),
+            curriculum_stage=int(wm.get("curriculum_stage", model_cfg.get("curriculum_stage", 0))),
         )
         for k in ("value_support_size", "reward_support_size"):
             if k in model_cfg:

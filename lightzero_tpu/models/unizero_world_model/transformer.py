@@ -38,6 +38,24 @@ class TransformerConfig:
     attn_dropout: float = 0.0
     resid_dropout: float = 0.0
     rope_base: float = 10000.0
+    # sparse mixture-of-experts feed-forward (reference moe flags in
+    # TransformerConfig, transformer.py:290 + moe.py)
+    moe_in_transformer: bool = False
+    num_experts: int = 4
+    num_experts_per_tok: int = 1
+    # task-conditioning for multitask training (reference task_embed /
+    # register-token options, transformer.py:70-219): a learned per-task
+    # embedding added to every token
+    num_tasks: int = 0
+    # CurriculumLoRA (reference CurriculumLoRALinear, transformer.py:70-219):
+    # W_eff = α₀·W₀ + Σ_{j≤stage} αⱼ·Δθⱼ with per-stage adapters; the stage
+    # is STATIC (changing it re-specializes the jit — it changes a handful
+    # of times per run). lora_r = 0 disables.
+    lora_r: int = 0
+    curriculum_stage_num: int = 1
+    curriculum_stage: int = 0
+    lora_alpha: float = 1.0
+    lora_scale_init: float = 1.0
 
     @property
     def head_dim(self) -> int:
@@ -75,6 +93,84 @@ def _rope(x: jnp.ndarray, pos: jnp.ndarray, base: float) -> jnp.ndarray:
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1).astype(x.dtype)
 
 
+class CurriculumLoRADense(nn.Module):
+    """Dense layer with curriculum-staged LoRA adapters (reference
+    CurriculumLoRALinear, transformer.py:70-219 + LearnableScale :27):
+
+        W_eff = α₀·W₀ + Σ_{j=1..stage} αⱼ·(A_j B_j)·(lora_alpha/r)
+
+    with αᵢ = init + 0.2·tanh(logitᵢ). All adapters are computed and masked
+    by (j ≤ stage) so the parameter structure is stage-independent; the
+    trainability schedule (stage 0: base only; stage s: adapter_s +
+    base_scale + earlier adapter scales) is enforced by the optimizer mask
+    (curriculum_trainable_mask below), mirroring the reference's
+    requires_grad toggles."""
+
+    features: int
+    cfg: TransformerConfig
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        base = nn.Dense(self.features, use_bias=self.use_bias, name="base")(x)
+        s_logit = self.param("base_scale", nn.initializers.zeros, ())
+        y = (1.0 + 0.2 * jnp.tanh(s_logit)) * base
+        r = cfg.lora_r
+        scaling = cfg.lora_alpha / max(r, 1)
+        for j in range(1, cfg.curriculum_stage_num):
+            A = self.param(f"lora_A_{j}", nn.initializers.normal(0.01), (x.shape[-1], r))
+            B = self.param(f"lora_B_{j}", nn.initializers.zeros, (r, self.features))
+            a_logit = self.param(f"adapter_scale_{j}", nn.initializers.zeros, ())
+            alpha_j = cfg.lora_scale_init + 0.2 * jnp.tanh(a_logit)
+            active = 1.0 if j <= cfg.curriculum_stage else 0.0
+            y = y + active * alpha_j * ((x @ A) @ B) * scaling
+        return y
+
+
+def _dense(cfg: TransformerConfig, features: int, name: str, use_bias: bool = False):
+    """nn.Dense, or its curriculum-LoRA wrapper when enabled."""
+    if cfg.lora_r > 0 and cfg.curriculum_stage_num > 1:
+        return CurriculumLoRADense(features, cfg, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, name=name)
+
+
+def curriculum_trainable_mask(params, stage: int):
+    """Pytree of bools: which params train at this curriculum stage
+    (reference set_curriculum_stage, transformer.py:129-219 — stage 0 trains
+    the base; stage s trains adapter_s, base_scale, and earlier adapter
+    scales; the transformer base freezes)."""
+    import re
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        names = [str(p) for p in path]
+        is_lora_leaf = any(
+            re.match(r"(lora_A_|lora_B_|adapter_scale_)\d+", n) or n == "base_scale"
+            for n in names
+        )
+        if stage == 0:
+            return not is_lora_leaf
+        # stage >= 1
+        for n in names:
+            m = re.match(r"lora_[AB]_(\d+)", n)
+            if m:
+                return int(m.group(1)) == stage
+            m = re.match(r"adapter_scale_(\d+)", n)
+            if m:
+                return int(m.group(1)) < stage
+            if n == "base_scale":
+                return True
+        # non-LoRA leaves: freeze the transformer backbone, keep everything
+        # outside the world-model transformer (encoder/heads) trainable
+        if any(n in ("_wm", "Transformer_0") or n.startswith("Block") for n in names):
+            return False
+        return True
+
+    return walk(params, ())
+
+
 class SelfAttention(nn.Module):
     cfg: TransformerConfig
     layer_idx: int
@@ -89,7 +185,7 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         B, T, D = x.shape
         H, Dh = cfg.num_heads, cfg.head_dim
-        qkv = nn.Dense(3 * D, use_bias=False)(x)
+        qkv = _dense(cfg, 3 * D, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -105,6 +201,10 @@ class SelfAttention(nn.Module):
             causal = pos[:, None, :, None] >= pos[:, None, None, :]  # (B,1,T,T)
             att = jnp.where(causal, att, -jnp.inf)
             att = jax.nn.softmax(att, axis=-1)
+            # attention-map capture for analysis (reference
+            # unizero_world_models/attention_map.py): retrieve with
+            # model.apply(..., mutable=['intermediates'])
+            self.sow("intermediates", "attention", att)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
             new_kv = None
         else:
@@ -123,7 +223,7 @@ class SelfAttention(nn.Module):
             y = jnp.einsum("bhqk,bhkd->bhqd", att, all_v)
             new_kv = (k, v, pos)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, D)
-        return nn.Dense(D, use_bias=False)(y), new_kv
+        return _dense(cfg, D, "out_proj")(y), new_kv
 
 
 class Block(nn.Module):
@@ -135,9 +235,18 @@ class Block(nn.Module):
         attn_out, new_kv = SelfAttention(self.cfg, self.layer_idx)(nn.LayerNorm()(x), pos, cache)
         x = x + attn_out
         h = nn.LayerNorm()(x)
-        h = nn.Dense(4 * self.cfg.embed_dim)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.cfg.embed_dim)(h)
+        if self.cfg.moe_in_transformer:
+            from lightzero_tpu.models.unizero_world_model.moe import MoELayer
+
+            h = MoELayer(
+                self.cfg.embed_dim,
+                num_experts=self.cfg.num_experts,
+                num_experts_per_tok=self.cfg.num_experts_per_tok,
+            )(h)
+        else:
+            h = _dense(self.cfg, 4 * self.cfg.embed_dim, "ff_up", use_bias=True)(h)
+            h = nn.gelu(h)
+            h = _dense(self.cfg, self.cfg.embed_dim, "ff_down", use_bias=True)(h)
         return x + h, new_kv
 
 
@@ -146,13 +255,26 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, pos: jnp.ndarray, cache: Optional[KVCache] = None
+        self,
+        x: jnp.ndarray,
+        pos: jnp.ndarray,
+        cache: Optional[KVCache] = None,
+        task_id: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         """x (B, T, D), pos (B, T) absolute token positions.
 
         With ``cache``: attends over cache + x, returns the cache with x's
-        k/v written into the ring buffer.
+        k/v written into the ring buffer. With ``num_tasks > 0`` a learned
+        per-task embedding conditions every token (the TPU-shaped
+        equivalent of the reference's task-embedding / register-token
+        options, world_model_multitask.py + transformer.py:70-219).
         """
+        if self.cfg.num_tasks > 0:
+            tid = (
+                jnp.zeros((x.shape[0],), jnp.int32) if task_id is None else task_id.astype(jnp.int32)
+            )
+            task_e = nn.Embed(self.cfg.num_tasks, self.cfg.embed_dim, name="task_embed")(tid)
+            x = x + task_e[:, None, :]
         new_ks, new_vs = [], []
         for i in range(self.cfg.num_layers):
             x, new_kv = Block(self.cfg, i)(x, pos, cache)
@@ -162,10 +284,12 @@ class Transformer(nn.Module):
         x = nn.LayerNorm()(x)
         if cache is None:
             return x, None
-        # write the T new tokens into the ring buffer
+        # write the T new tokens into the ring buffer; tokens with pos < 0
+        # (masked-out prefill history) route to slot Tc, which is out of
+        # bounds so the scatter drops them (JAX default OOB-drop semantics)
         B, T = pos.shape
         Tc = cache.k.shape[3]
-        slots = pos % Tc  # (B, T)
+        slots = jnp.where(pos >= 0, pos % Tc, Tc)  # (B, T)
         bidx = jnp.arange(B)[:, None, None, None]
         lidx = jnp.arange(self.cfg.num_layers)[None, :, None, None]
         hidx = jnp.arange(self.cfg.num_heads)[None, None, :, None]

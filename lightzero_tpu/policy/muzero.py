@@ -98,6 +98,8 @@ class MuZeroPolicy:
                     categorical_distribution=True,
                     self_supervised_learning_loss=False,
                     norm_type="LN",
+                    # HarmonyDream learnable loss weights (muzero.py:325-331)
+                    harmony_balance=False,
                 ),
                 batch_size=256,
                 optim_type="Adam",  # 'SGD' | 'Adam' | 'AdamW'
@@ -138,6 +140,8 @@ class MuZeroPolicy:
                 threshold_training_steps_for_final_temperature=int(1e5),
                 reanalyze_ratio=0.0,
                 reanalyze_noise=True,
+                # no-search collect mode (reference muzero.py:800-812)
+                collect_with_pure_policy=False,
                 # ReZero (arXiv:2404.16364): periodic backward-order buffer
                 # reanalyze with root-value reuse (train_rezero.py:49-53;
                 # search_with_reuse, mcts_ctree.py:368-465)
@@ -196,7 +200,15 @@ class MuZeroPolicy:
                 optax.add_decayed_weights(float(cfg.weight_decay)),
                 optax.sgd(lr, momentum=float(cfg.momentum)),
             )
-        elif cfg.optim_type in ("Adam", "AdamW"):
+        elif cfg.optim_type == "Adam":
+            # torch.optim.Adam applies weight_decay as L2 added to the
+            # gradient BEFORE the moment updates (reference muzero.py:276-291
+            # distinguishes Adam from AdamW's decoupled decay)
+            opt = optax.chain(
+                optax.add_decayed_weights(float(cfg.weight_decay)),
+                optax.adam(lr),
+            )
+        elif cfg.optim_type == "AdamW":
             opt = optax.adamw(lr, weight_decay=float(cfg.weight_decay))
         else:
             raise ValueError(f"unknown optim_type {cfg.optim_type}")
@@ -288,14 +300,31 @@ class MuZeroPolicy:
             value_loss = value_loss + cross_entropy_loss(rec.value_logits, tv_cat[:, k + 1])
             reward_loss = reward_loss + cross_entropy_loss(rec.reward_logits, tr_cat[:, k])
 
-        loss = (
-            cfg.ssl_loss_weight * consistency_loss
-            + cfg.policy_loss_weight * policy_loss
-            + cfg.value_loss_weight * value_loss
-            + cfg.reward_loss_weight * reward_loss
-            + cfg.policy_entropy_weight * policy_entropy_loss
-        )
-        weighted_total_loss = jnp.mean(batch.weights * loss)
+        if cfg.model.get("harmony_balance", False):
+            # HarmonyDream learnable loss weights (reference muzero.py:563-575):
+            # each loss divided by exp(h_i) + log(exp(h_i)+1) regularizer
+            p = params["params"]
+            h_p, h_v, h_r = p["harmony_policy"], p["harmony_value"], p["harmony_reward"]
+            loss = (
+                cfg.ssl_loss_weight * consistency_loss
+                + policy_loss / jnp.exp(h_p)
+                + value_loss / jnp.exp(h_v)
+                + reward_loss / jnp.exp(h_r)
+            )
+            weighted_total_loss = jnp.mean(batch.weights * loss) + (
+                jnp.log(jnp.exp(h_p) + 1.0)
+                + jnp.log(jnp.exp(h_v) + 1.0)
+                + jnp.log(jnp.exp(h_r) + 1.0)
+            )
+        else:
+            loss = (
+                cfg.ssl_loss_weight * consistency_loss
+                + cfg.policy_loss_weight * policy_loss
+                + cfg.value_loss_weight * value_loss
+                + cfg.reward_loss_weight * reward_loss
+                + cfg.policy_entropy_weight * policy_entropy_loss
+            )
+            weighted_total_loss = jnp.mean(batch.weights * loss)
         # total-gradient rescale 1/K (reference muzero.py:584-585)
         scaled_loss = weighted_total_loss / K
         logs = dict(
@@ -350,6 +379,24 @@ class MuZeroPolicy:
     ):
         out0 = self._initial(params, obs)
         pred_value = inverse_scalar_transform(out0.value_logits, self.value_support)
+        if bool(self.cfg.get("collect_with_pure_policy", False)):
+            # no-search mode (reference muzero.py:800-812): sample directly
+            # from the softmax policy over legal actions
+            rng, a_rng = jax.random.split(rng)
+            masked = jnp.where(legal_mask, out0.policy_logits, -jnp.inf)
+            probs = jax.nn.softmax(masked, axis=-1)
+            actions = jax.random.categorical(a_rng, masked, axis=-1).astype(jnp.int32)
+            if deterministic:
+                actions = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            entropy = -jnp.sum(probs * jnp.log(jnp.maximum(probs, 1e-9)), axis=-1)
+            return dict(
+                action=actions,
+                visit_counts=probs,
+                searched_value=pred_value,
+                predicted_value=pred_value,
+                policy_logits=out0.policy_logits,
+                distribution_entropy=entropy,
+            )
         root = RootOutput(
             prior_logits=out0.policy_logits, value=pred_value, embedding=self._root_embedding(out0)
         )

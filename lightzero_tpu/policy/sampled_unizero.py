@@ -114,7 +114,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         return out, new_state
 
     # ---------------------------------------------------------------- learn
-    def _loss_fn(self, params, batch):
+    def _loss_fn(self, params, batch, train_iter=None):
         base = batch.base
         sampled = batch.sampled_actions  # (B, K+1, Ks, D)
         cfg = self.cfg

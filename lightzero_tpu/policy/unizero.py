@@ -53,7 +53,33 @@ class UniZeroPolicy(MuZeroPolicy):
         cfg.model.max_tokens = 32
         cfg.obs_loss_weight = 10.0
         cfg.target_update_freq = 100
+        # tokenizer-decoder reconstruction loss (tokenizer.py:283-301);
+        # > 0 instantiates the decoder
+        cfg.latent_recon_loss_weight = 0.0
+        # adaptive policy-entropy temperature: learned log_alpha against a
+        # decaying target entropy (reference unizero.py:1036-1100)
+        cfg.use_adaptive_entropy_weight = True
+        cfg.target_entropy_start_ratio = 0.98
+        cfg.target_entropy_end_ratio = 0.7
+        cfg.target_entropy_decay_steps = int(1e5)
+        # Encoder-Clip: rescale encoder weights when the max obs-embedding
+        # norm exceeds an annealed threshold (unizero.py:1106-1137)
+        cfg.use_encoder_clip_annealing = False
+        cfg.encoder_clip_start = 30.0
+        cfg.encoder_clip_end = 10.0
+        cfg.encoder_clip_anneal_steps = int(1e5)
+        cfg.encoder_clip_anneal_type = "cosine"
+        # gradient accumulation: micro-batches averaged inside ONE jitted
+        # step (reference accumulates across train iters, unizero.py:1032;
+        # same effective update)
+        cfg.accumulation_steps = 1
+        # reanalyze roots threaded with the true (obs, action) history
+        # context (game_buffer_unizero.py:400,544); 0 = fresh single-obs root
+        cfg.reanalyze_context_steps = 4
         return cfg
+
+    # the GameBuffer supplies (obs history, action history) to reanalyze
+    reanalyze_needs_context = True
 
     def __init__(self, cfg: Config, model=None):
         if model is None:
@@ -61,8 +87,58 @@ class UniZeroPolicy(MuZeroPolicy):
             model_cfg = Config(dict(cfg.model))
             model_cfg.value_support_size = int(2 * scale + 1)
             model_cfg.reward_support_size = int(2 * scale + 1)
+            if float(cfg.get("latent_recon_loss_weight", 0.0)) > 0:
+                model_cfg.with_decoder = True
             model = UniZeroModel.from_config(model_cfg)
         super().__init__(cfg, model=model)
+
+    # ------------------------------------------------- curriculum LoRA
+    def _make_optimizer(self):
+        import optax
+
+        opt = super()._make_optimizer()
+        mcfg = self.cfg.model
+        if int(mcfg.get("lora_r", 0)) > 0 and int(mcfg.get("curriculum_stage_num", 1)) > 1:
+            from lightzero_tpu.models.unizero_world_model.transformer import (
+                curriculum_trainable_mask,
+            )
+
+            stage = getattr(
+                self, "_curriculum_stage", int(mcfg.get("curriculum_stage", 0))
+            )
+
+            def labels(p):
+                return jax.tree_util.tree_map(
+                    lambda b: "train" if b else "freeze",
+                    curriculum_trainable_mask(p, stage),
+                )
+
+            # NOTE: optax.masked passes raw gradients THROUGH for unmasked
+            # leaves — frozen params need explicitly zeroed updates
+            opt = optax.multi_transform(
+                {"train": opt, "freeze": optax.set_to_zero()}, labels
+            )
+        return opt
+
+    def set_curriculum_stage(self, stage: int):
+        """Advance the CurriculumLoRA stage (reference set_curriculum_stage,
+        transformer.py:129-219 + the balance entry's stage switching,
+        train_unizero_multitask_balance_segment_ddp.py:416-460). The stage is
+        a STATIC model attribute, so this re-specializes the model and
+        rebuilds the optimizer with the stage's trainable-parameter mask;
+        the caller must re-init opt_state (param structure is unchanged)."""
+        import dataclasses
+
+        self.model = dataclasses.replace(self.model, curriculum_stage=stage)
+        self._curriculum_stage = stage
+        self.optimizer = self._make_optimizer()
+        for attr in ("_jit_reanalyze",):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        self._jit_learn = jax.jit(self._forward_learn, donate_argnums=(0,))
+        self._jit_collect = jax.jit(
+            self._forward_collect, static_argnames=("deterministic",)
+        )
 
     # ---------------------------------------------------- stateful collect
     def _fresh_cache(self, batch_size: int):
@@ -166,7 +242,7 @@ class UniZeroPolicy(MuZeroPolicy):
         return out, new_state
 
     # ---------------------------------------------------------------- learn
-    def _loss_fn(self, params, batch: TrainBatch):
+    def _loss_fn(self, params, batch: TrainBatch, train_iter=None):
         cfg = self.cfg
         K = self.num_unroll_steps
         tv_cat = phi_transform(self.value_support, scalar_transform(batch.target_value))
@@ -189,26 +265,154 @@ class UniZeroPolicy(MuZeroPolicy):
         pred_value0 = inverse_scalar_transform(out["value_logits"][:, 0], self.value_support)
         value_priority = jnp.abs(pred_value0 - batch.target_value[:, 0])
 
+        # adaptive entropy temperature (reference unizero.py:1036-1100):
+        # alpha_loss = log_alpha * (entropy - target_entropy).detach();
+        # the policy term uses alpha = exp(log_alpha).detach()
+        alpha_loss = jnp.zeros(())
+        entropy_weight = jnp.asarray(float(cfg.policy_entropy_weight))
+        if bool(cfg.get("use_adaptive_entropy_weight", False)):
+            log_alpha = params["params"]["log_alpha"]
+            it = jnp.asarray(0, jnp.float32) if train_iter is None else train_iter.astype(jnp.float32)
+            progress = jnp.minimum(1.0, it / float(cfg.target_entropy_decay_steps))
+            ratio = (
+                float(cfg.target_entropy_start_ratio) * (1.0 - progress)
+                + float(cfg.target_entropy_end_ratio) * progress
+            )
+            A = int(self.cfg.model.action_space_size)
+            target_entropy = jnp.log(jnp.asarray(float(A))) * ratio
+            mean_entropy = jnp.mean(entropy)
+            alpha_loss = log_alpha * jax.lax.stop_gradient(mean_entropy - target_entropy)
+            entropy_weight = jax.lax.stop_gradient(jnp.exp(log_alpha))
+
+        # tokenizer-decoder latent reconstruction (tokenizer.py:283-301)
+        recon_w = float(cfg.get("latent_recon_loss_weight", 0.0))
+        latent_recon_loss = jnp.zeros(())
+        if recon_w > 0:
+            B, K1 = batch.obs.shape[:2]
+            emb_flat = out["obs_embeddings"].reshape(B * K1, -1)
+            recon = self.model.apply(params, emb_flat, method=UniZeroModel.decode_obs)
+            obs_flat = batch.obs.reshape((B * K1,) + batch.obs.shape[2:])
+            latent_recon_loss = jnp.mean((recon - obs_flat) ** 2)
+
         loss = (
             cfg.policy_loss_weight * policy_loss
             + cfg.value_loss_weight * value_loss
             + cfg.reward_loss_weight * reward_loss
             + cfg.obs_loss_weight * obs_loss
-            + cfg.policy_entropy_weight * (-entropy)
+            + entropy_weight * (-entropy)
         )
-        weighted_total_loss = jnp.mean(batch.weights * loss)
+        weighted_total_loss = (
+            jnp.mean(batch.weights * loss) + alpha_loss + recon_w * latent_recon_loss
+        )
         scaled_loss = weighted_total_loss / K
+        latent_norm_max = jnp.max(jnp.linalg.norm(out["obs_embeddings"], axis=-1))
         logs = dict(
             total_loss=weighted_total_loss,
             policy_loss=jnp.mean(policy_loss),
             value_loss=jnp.mean(value_loss),
             reward_loss=jnp.mean(reward_loss),
             obs_loss=jnp.mean(obs_loss),
+            latent_recon_loss=latent_recon_loss,
+            alpha_loss=alpha_loss,
+            entropy_weight=entropy_weight,
+            latent_norm_max=latent_norm_max,
             policy_entropy=jnp.mean(entropy),
             predicted_value=jnp.mean(pred_value0),
             target_value=jnp.mean(batch.target_value[:, 0]),
         )
         return scaled_loss, (logs, value_priority)
+
+    def _forward_learn(self, state, batch: TrainBatch):
+        """UniZero learn step: gradient accumulation over micro-batches,
+        non-finite-loss guard (reference NaN/Inf asserts, unizero.py:1027),
+        log_alpha clamp to [log 5e-2, log 10] (unizero.py:1060), and
+        Encoder-Clip weight rescaling (unizero.py:1106-1137)."""
+        import optax
+
+        from lightzero_tpu.policy.muzero import TrainState
+
+        cfg = self.cfg
+        steps = int(cfg.get("accumulation_steps", 1))
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        if steps <= 1:
+            (_, (logs, value_priority)), grads = grad_fn(
+                state.params, batch, state.train_iter
+            )
+        else:
+            B = batch.obs.shape[0]
+            micro = B // steps
+            batch_m = jax.tree_util.tree_map(
+                lambda x: x.reshape((steps, micro) + x.shape[1:]), batch
+            )
+
+            def acc(carry, mb):
+                (_, (lg, vp)), g = grad_fn(state.params, mb, state.train_iter)
+                gsum = jax.tree_util.tree_map(jnp.add, carry, g)
+                return gsum, (lg, vp)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            gsum, (logs_m, vp_m) = jax.lax.scan(acc, zero, batch_m)
+            grads = jax.tree_util.tree_map(lambda g: g / steps, gsum)
+            logs = jax.tree_util.tree_map(jnp.mean, logs_m)
+            value_priority = vp_m.reshape(B)
+
+        # non-finite guard (reference NaN/Inf asserts, unizero.py:1027): on a
+        # bad batch the ENTIRE update is skipped — weight decay would still
+        # move params under merely-zeroed gradients
+        finite = jnp.isfinite(logs["total_loss"]) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        logs["nonfinite_loss"] = (~finite).astype(jnp.float32)
+
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), opt_state, state.opt_state
+        )
+
+        if bool(cfg.get("use_adaptive_entropy_weight", False)):
+            p = dict(params["params"])
+            p["log_alpha"] = jnp.clip(p["log_alpha"], jnp.log(5e-2), jnp.log(10.0))
+            params = {**params, "params": p}
+
+        if bool(cfg.get("use_encoder_clip_annealing", False)):
+            it = state.train_iter.astype(jnp.float32)
+            progress = jnp.minimum(1.0, it / float(cfg.encoder_clip_anneal_steps))
+            if str(cfg.get("encoder_clip_anneal_type", "cosine")) == "cosine":
+                cosw = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+                clip_v = float(cfg.encoder_clip_end) + (
+                    float(cfg.encoder_clip_start) - float(cfg.encoder_clip_end)
+                ) * cosw
+            else:
+                clip_v = (
+                    float(cfg.encoder_clip_start) * (1.0 - progress)
+                    + float(cfg.encoder_clip_end) * progress
+                )
+            scale = jnp.minimum(1.0, clip_v / jnp.maximum(logs["latent_norm_max"], 1e-9))
+            p = dict(params["params"])
+            for enc_key in ("_enc", "_enc_conv", "_enc_proj"):
+                if enc_key in p:
+                    p[enc_key] = jax.tree_util.tree_map(lambda w: w * scale, p[enc_key])
+            params = {**params, "params": p}
+            logs["encoder_clip_scale"] = scale
+
+        train_iter = state.train_iter + 1
+        target_params = optax.periodic_update(
+            params, state.target_params, train_iter, self.cfg.target_update_freq
+        )
+        logs["grad_norm"] = optax.global_norm(grads)
+        logs["cur_lr"] = (
+            self._lr_schedule()(state.train_iter)
+            if callable(self._lr_schedule())
+            else jnp.asarray(self.cfg.learning_rate)
+        )
+        return TrainState(params, target_params, opt_state, train_iter), logs, value_priority
 
     def _bootstrap_value_fn(self, target_params, obs):
         """Single-obs value: fresh cache + one obs token."""
@@ -220,16 +424,25 @@ class UniZeroPolicy(MuZeroPolicy):
         )
         return inverse_scalar_transform(o_out["value_logits"], self.value_support)
 
-    def _forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play):
-        """Reanalyze from a fresh single-obs context (the reference's
-        UniZero buffer threads batch_action context; fresh-context targets
-        are the simpler TPU-side equivalent)."""
-        B = obs.shape[0]
-        cache = self._fresh_cache(B)
-        obs_e = self.model.apply(target_params, obs, method=UniZeroModel.encode_obs)
-        o_out, cache = self.model.apply(
-            target_params, cache, obs_e, method=UniZeroModel.infer_obs_step
-        )
+    def _forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play,
+                           obs_hist=None, act_hist=None, hist_len=None):
+        """Reanalyze with the TRUE (obs, action) history threaded into the
+        root's KV cache (the reference threads batch_action through per-env
+        caches, game_buffer_unizero.py:400,544) — ``prefill`` teacher-forces
+        the interleaved history so the root sees the same context the model
+        saw at collect time. Falls back to a fresh single-obs context when
+        no history is supplied."""
+        if obs_hist is not None:
+            o_out, cache = self.model.apply(
+                target_params, obs_hist, act_hist, hist_len, method=UniZeroModel.prefill
+            )
+        else:
+            B = obs.shape[0]
+            cache = self._fresh_cache(B)
+            obs_e = self.model.apply(target_params, obs, method=UniZeroModel.encode_obs)
+            o_out, cache = self.model.apply(
+                target_params, cache, obs_e, method=UniZeroModel.infer_obs_step
+            )
         root = RootOutput(
             prior_logits=o_out["policy_logits"],
             value=inverse_scalar_transform(o_out["value_logits"], self.value_support),
@@ -247,3 +460,14 @@ class UniZeroPolicy(MuZeroPolicy):
         )
         counts = search_out.visit_counts.astype(jnp.float32)
         return counts / jnp.maximum(counts.sum(-1, keepdims=True), 1e-9), search_out.root_value
+
+    def forward_reanalyze(self, target_params, rng, obs, legal_mask, to_play=None,
+                          obs_hist=None, act_hist=None, hist_len=None, **_ignored):
+        if not hasattr(self, "_jit_reanalyze"):
+            self._jit_reanalyze = jax.jit(self._forward_reanalyze)
+        B = obs.shape[0]
+        if to_play is None:
+            to_play = jnp.full((B,), -1, jnp.int32)
+        return self._jit_reanalyze(
+            target_params, rng, obs, legal_mask, to_play, obs_hist, act_hist, hist_len
+        )

@@ -38,6 +38,19 @@ class ExperimentLogger:
                 self.tb = SummaryWriter(os.path.join(log_dir, "serial"))
             except Exception:
                 self.tb = None
+        # optional wandb sink (reference use_wandb, train_muzero.py:84-92 /
+        # muzero.py:668-670) — active only when wandb is importable AND the
+        # run opts in via WANDB_LIGHTZERO=1 (offline-safe default)
+        self.wandb = None
+        if os.environ.get("WANDB_LIGHTZERO", "0") == "1":
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "lightzero_tpu"),
+                           name=os.path.basename(exp_dir), dir=log_dir)
+            except Exception:
+                self.wandb = None
 
     def log_scalars(self, scalars: Dict[str, float], step: int, prefix: str = ""):
         clean = {}
@@ -52,6 +65,8 @@ class ExperimentLogger:
         if self.tb is not None:
             for k, v in clean.items():
                 self.tb.add_scalar(prefix + k, v, step)
+        if self.wandb is not None:
+            self.wandb.log({prefix + k: v for k, v in clean.items()}, step=step)
 
     def info(self, msg: str):
         self.logger.info(msg)

@@ -20,10 +20,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# persistent compilation cache: repeat test runs skip minutes of XLA compiles
-from lightzero_tpu.utils.jax_setup import setup_jax  # noqa: E402
+# NOTE: the persistent compilation cache is intentionally NOT enabled for
+# tests — the cache WRITE path (zstandard serialization of large CPU
+# executables) intermittently segfaults on this host, killing whole suite
+# runs mid-flight (observed twice in compilation_cache.put_executable_and
+# _time). Fresh compiles are slower but reliable. Opt back in with
+# LZT_TEST_CACHE=1 at your own risk.
+if os.environ.get("LZT_TEST_CACHE", "0") == "1":
+    from lightzero_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
-setup_jax(os.path.expanduser("~/.cache/lightzero_tpu_jax_tests"))
+    setup_jax(os.path.expanduser("~/.cache/lightzero_tpu_jax_tests"))
 
 REFERENCE_PATH = "/root/reference"
 

@@ -1,0 +1,22 @@
+"""Connect4 MuZero vs rule bot (reference:
+zoo/board_games/connect4/config/connect4_muzero_bot_mode_config.py)."""
+from lightzero_tpu.config import Config
+
+main_config = Config(dict(
+    exp_name="data_mz/connect4_muzero_ns50_seed0",
+    env=dict(type="connect4", battle_mode="play_with_bot_mode", stop_value=0.99,
+             collector_env_num=8, evaluator_env_num=5),
+    policy=dict(
+        type="muzero", env_type="board_games",
+        model=dict(observation_shape=(6, 7, 3), action_space_size=7,
+                   model_type="conv", num_channels=64, num_res_blocks=2,
+                   support_scale=10),
+        discount_factor=1.0, num_simulations=50, batch_size=256,
+        update_per_collect=50, n_episode=8, eval_freq=100,
+        manual_temperature_decay=True,
+    ),
+))
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_muzero
+    train_muzero(main_config, seed=0, max_env_step=int(5e5))

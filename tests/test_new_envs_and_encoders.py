@@ -1,0 +1,98 @@
+"""Grid Breakout env, memory-env latent encoder/decoder, LatentDecoder,
+PadVectorObs wrapper, and the gated LLM text encoders."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [pytest.mark.unittest]
+
+
+def test_breakout_grid_plays_and_scores():
+    from lightzero_tpu.envs.breakout_grid import BreakoutGridEnv
+    from lightzero_tpu.utils import ENV_REGISTRY
+
+    assert ENV_REGISTRY.get("breakout_grid") is BreakoutGridEnv
+    env = BreakoutGridEnv(max_steps=200)
+    rng = jax.random.PRNGKey(0)
+    s, obs = env.reset(rng)
+    assert obs.shape == (10, 10, 4)
+    assert float(obs[:, :, 3].sum()) == 30.0  # 3 rows of 10 bricks
+    step = jax.jit(env.step)
+    total_r = 0.0
+    dones = 0
+    for i in range(400):
+        rng, a_rng, s_rng = jax.random.split(rng, 3)
+        a = jax.random.randint(a_rng, (), 0, 3)
+        out = step(s, a, s_rng)
+        s = out.state
+        total_r += float(out.reward)
+        dones += int(out.done)
+    assert total_r > 0  # a random paddle still hits some bricks
+    assert dones >= 1  # episodes end and auto-reset
+
+
+def test_breakout_grid_truncation_flag():
+    from lightzero_tpu.envs.breakout_grid import BreakoutGridEnv
+
+    env = BreakoutGridEnv(max_steps=3)
+    rng = jax.random.PRNGKey(1)
+    s, _ = env.reset(rng)
+    step = jax.jit(env.step)
+    truncated_seen = False
+    for _ in range(8):
+        rng, s_rng = jax.random.split(rng)
+        out = step(s, jnp.asarray(0), s_rng)
+        s = out.state
+        if bool(out.done) and bool(out.truncated):
+            truncated_seen = True
+    assert truncated_seen
+
+
+def test_memory_env_encoders():
+    from lightzero_tpu.models.common import (
+        LatentDecoder,
+        LatentDecoderForMemoryEnv,
+        LatentEncoderForMemoryEnv,
+    )
+
+    enc = LatentEncoderForMemoryEnv(embedding_size=64)
+    obs = jnp.ones((3, 5, 5, 3))
+    p = enc.init(jax.random.PRNGKey(0), obs)
+    e = enc.apply(p, obs)
+    assert e.shape == (3, 64)
+
+    dec = LatentDecoderForMemoryEnv(image_shape=(5, 5, 3))
+    pd = dec.init(jax.random.PRNGKey(1), e)
+    rec = dec.apply(pd, e)
+    assert rec.shape == (3, 5, 5, 3)
+    assert (np.asarray(rec) >= 0).all() and (np.asarray(rec) <= 1).all()
+
+    big = LatentDecoder(output_shape=(16, 16, 3), num_channels=32)
+    pb = big.init(jax.random.PRNGKey(2), jnp.ones((2, 64)))
+    img = big.apply(pb, jnp.ones((2, 64)))
+    assert img.shape == (2, 16, 16, 3)
+
+
+def test_pad_vector_obs_wrapper():
+    from lightzero_tpu.envs.cartpole import CartPoleEnv
+    from lightzero_tpu.envs.wrappers import PadVectorObs
+
+    env = PadVectorObs(CartPoleEnv(), target_dim=6)
+    s, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (6,)
+    np.testing.assert_allclose(np.asarray(obs[4:]), 0.0)
+    out = jax.jit(env.step)(s, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert out.obs.shape == (6,)
+    assert out.legal_mask.shape == (env.action_space_size,)
+
+
+def test_text_encoders_gated():
+    from lightzero_tpu.models.text_encoders import HFLanguageEncoder
+
+    if not HFLanguageEncoder.available():
+        pytest.skip("no local HF weights (zero-egress image)")
+    enc = HFLanguageEncoder()
+    e = enc.encode(["go north", "open the door"])
+    assert e.shape == (2, enc.hidden_size)

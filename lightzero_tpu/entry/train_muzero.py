@@ -137,7 +137,7 @@ def train_muzero(
     while collector.total_env_steps < max_env_step and train_iter < max_train_iter:
         temperature = visit_count_temperature(
             pcfg.get("manual_temperature_decay", False),
-            pcfg.get("fixed_temperature_value", 1.0),
+            pcfg.get("fixed_temperature_value", 0.25),
             pcfg.get("threshold_training_steps_for_final_temperature", int(1e5)),
             train_iter,
         )

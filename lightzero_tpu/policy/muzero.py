@@ -136,7 +136,12 @@ class MuZeroPolicy:
                 replay_buffer_size=int(1e6),
                 collect_epsilon=0.0,
                 manual_temperature_decay=False,
-                fixed_temperature_value=1.0,
+                # reference default (muzero.py:194): 0.25 sharpens the
+                # visit-count collect distribution (counts^4) — at 1.0 the
+                # flat 50-sim visit profile collapses to near-uniform
+                # exploration and the policy-improvement operator stalls
+                # (diagnosed on Pendulum Sampled-EZ).
+                fixed_temperature_value=0.25,
                 threshold_training_steps_for_final_temperature=int(1e5),
                 reanalyze_ratio=0.0,
                 reanalyze_noise=True,

@@ -14,7 +14,9 @@ main_config = Config(dict(
         model=dict(observation_shape=3, action_space_size=1,
                    latent_state_dim=128, lstm_hidden_size=128),
         num_simulations=50, num_of_sampled_actions=K, batch_size=256,
-        update_per_collect=100, n_episode=8, eval_freq=200,
+        # reference: update_per_collect=None + replay_ratio=0.25 -> ~400
+        # updates per 1600-transition collect (4x the old upc=100).
+        update_per_collect=None, replay_ratio=0.25, n_episode=8, eval_freq=200,
         ssl_loss_weight=2, optim_type="AdamW", learning_rate=1e-4,
         cos_lr_scheduler=True, lstm_horizon_len=5,
     ),

@@ -8,4 +8,4 @@ from lightzero_tpu.envs.board import connect4  # registers 'connect4'
 from lightzero_tpu.envs.board import gomoku  # registers 'gomoku'
 from lightzero_tpu.envs import breakout_grid  # registers "breakout_grid"
 from lightzero_tpu.envs.board import go  # registers "go"
-from lightzero_tpu.envs import breakout_grid  # registers "breakout_grid"
+from lightzero_tpu.envs.board import chess  # registers "chess"

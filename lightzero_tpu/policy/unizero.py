@@ -56,6 +56,10 @@ class UniZeroPolicy(MuZeroPolicy):
         # tokenizer-decoder reconstruction loss (tokenizer.py:283-301);
         # > 0 instantiates the decoder
         cfg.latent_recon_loss_weight = 0.0
+        # LPIPS perceptual term on decoded image obs (tokenizer.py:283-301
+        # perceptual_loss_weight; requires latent_recon_loss_weight > 0 so
+        # the decoder exists and image observations)
+        cfg.perceptual_loss_weight = 0.0
         # adaptive policy-entropy temperature: learned log_alpha against a
         # decaying target entropy (reference unizero.py:1036-1100)
         cfg.use_adaptive_entropy_weight = True
@@ -293,6 +297,14 @@ class UniZeroPolicy(MuZeroPolicy):
             recon = self.model.apply(params, emb_flat, method=UniZeroModel.decode_obs)
             obs_flat = batch.obs.reshape((B * K1,) + batch.obs.shape[2:])
             latent_recon_loss = jnp.mean((recon - obs_flat) ** 2)
+            pw = float(cfg.get("perceptual_loss_weight", 0.0))
+            if pw > 0 and recon.ndim == 4:  # image obs only
+                from lightzero_tpu.ops.lpips import lpips_distance
+
+                latent_recon_loss = latent_recon_loss + (pw / recon_w) * jnp.mean(
+                    lpips_distance(jnp.clip(recon, 0.0, 1.0),
+                                   jnp.clip(obs_flat, 0.0, 1.0))
+                )
 
         loss = (
             cfg.policy_loss_weight * policy_loss

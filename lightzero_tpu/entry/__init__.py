@@ -15,3 +15,10 @@ from lightzero_tpu.entry.eval_offline import eval_offline
 # ReZero = the shared loop with buffer_reanalyze_freq > 0 (reference keeps a
 # separate train_rezero entry, lzero/entry/train_rezero.py)
 train_rezero = train_muzero
+
+# Segment pipeline = the shared loop with policy.num_segments set: each
+# collect round gathers num_segments x game_segment_length env steps and
+# flushes partial episodes as truncated (reference train_muzero_segment.py /
+# muzero_segment_collector.py; UniZero variant train_unizero_segment.py)
+train_muzero_segment = train_muzero
+train_unizero_segment = train_muzero

@@ -170,12 +170,25 @@ def train_muzero(
                 logger.info(f"stop_value {stop_value} reached; stopping.")
                 break
         # ---- collect ----
-        episodes, priorities, cstats = collector.collect(
-            state.params,
-            temperature=temperature,
-            epsilon=pcfg.get("collect_epsilon", 0.0),
-            num_episodes=n_episode,
-        )
+        # segment mode (reference train_muzero_segment.py /
+        # muzero_segment_collector.py): num_segments x game_segment_length
+        # steps per round, partial episodes flushed as truncated
+        num_segments = pcfg.get("num_segments", None)
+        if num_segments:
+            episodes, priorities, cstats = collector.collect(
+                state.params,
+                temperature=temperature,
+                epsilon=pcfg.get("collect_epsilon", 0.0),
+                num_episodes=None,
+                min_steps=int(num_segments) * int(pcfg.get("game_segment_length", 200)),
+            )
+        else:
+            episodes, priorities, cstats = collector.collect(
+                state.params,
+                temperature=temperature,
+                epsilon=pcfg.get("collect_epsilon", 0.0),
+                num_episodes=n_episode,
+            )
         buffer.push_episodes(episodes, priorities)
         # ReZero periodic whole-buffer reanalyze (train_rezero.py /
         # train_muzero_segment.py:191-208)
@@ -216,6 +229,14 @@ def train_muzero(
             state, logs, priority = policy.forward_learn(state, batch)
             buffer.update_priority(idx, np.asarray(priority))
             train_iter += 1
+        # numerical guard (reference asserts non-NaN losses, unizero.py:1027)
+        _lv = float(logs.get("total_loss", 0.0)) if logs else 0.0
+        if _lv != _lv or _lv in (float("inf"), float("-inf")):
+            save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_nan"))
+            raise RuntimeError(
+                f"non-finite total_loss={_lv} at iter {train_iter} "
+                f"(state saved to ckpt/ckpt_nan)"
+            )
         logger.log_scalars(
             {k: v for k, v in logs.items()}, collector.total_env_steps, prefix="learner/"
         )
@@ -228,6 +249,18 @@ def train_muzero(
         if train_iter % int(pcfg.get("save_ckpt_freq", 10_000)) < upc:
             save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", f"iteration_{train_iter}"))
 
+    # post-training loss-landscape analysis (reference
+    # train_unizero_with_loss_landscape's final phase)
+    if pcfg.get("analysis_loss_landscape", False) and buffer.num_transitions >= batch_size:
+        from lightzero_tpu.loss_landscape import loss_landscape_api
+
+        batch, _ = buffer.sample(batch_size, state.target_params)
+        res = loss_landscape_api(
+            policy, state.params, batch,
+            os.path.join(cfg.exp_name, "loss_landscape"),
+            mode=str(pcfg.get("loss_landscape_mode", "1d")),
+        )
+        logger.info(f"loss_landscape: surface saved under {cfg.exp_name}/loss_landscape")
     save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_final"))
     logger.close()
     return policy, state, dict(

@@ -97,3 +97,21 @@ def test_random_collect_warmup():
     coll = RolloutCollector(CartPoleEnv(), policy, 2, rollout_length=32)
     stats = random_collect(coll, buffer, state.params, num_episodes=2)
     assert buffer.num_transitions > 0
+
+
+def test_visualize_utils(tmp_path):
+    """models/visualize.py writes recon grids, attention heatmaps, latent maps."""
+    import numpy as np
+    from lightzero_tpu.models.visualize import (
+        visualize_reconstruction, visualize_attention_maps, plot_latent_map,
+    )
+
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(size=(4, 8, 8, 3))
+    p1 = visualize_reconstruction(obs, obs * 0.5, str(tmp_path / "recon.png"),
+                                  rewards=np.arange(4), values=np.arange(4.0))
+    p2 = visualize_attention_maps([rng.uniform(size=(1, 2, 6, 6))] * 2,
+                                  str(tmp_path / "attn.png"))
+    p3 = plot_latent_map(rng.normal(size=(16, 32)), str(tmp_path / "latent.png"))
+    import os
+    assert all(os.path.getsize(p) > 0 for p in (p1, p2, p3))

@@ -77,3 +77,38 @@ def test_checkpoint_roundtrip(tmp_path):
     back = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_muzero_segment_mode(tmp_path):
+    """Segment pipeline: num_segments set -> min_steps collect with
+    truncated flush + post-training 1D loss landscape wiring."""
+    from lightzero_tpu.entry import train_muzero_segment
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.exp_name = str(tmp_path / "exp_seg")
+    cfg.policy.num_segments = 2
+    cfg.policy.game_segment_length = 20
+    cfg.policy.analysis_loss_landscape = True
+    cfg.policy.loss_landscape_mode = "1d"
+    policy, state, stats = train_muzero_segment(
+        cfg, seed=0, max_env_step=200, max_train_iter=10
+    )
+    assert int(state.train_iter) > 0
+    surf = os.path.join(str(tmp_path / "exp_seg"), "loss_landscape", "loss_surface_1d.npz")
+    assert os.path.exists(surf)
+    dat = np.load(surf)
+    assert np.all(np.isfinite(dat["loss"]))
+
+
+def test_nan_guard_raises(tmp_path):
+    """The numerical guard halts training on a non-finite loss."""
+    from lightzero_tpu.entry import train_muzero
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.exp_name = str(tmp_path / "exp_nan")
+    cfg.policy.learning_rate = 1e9  # force divergence fast
+    try:
+        train_muzero(cfg, seed=0, max_env_step=3000, max_train_iter=60)
+    except RuntimeError as e:
+        assert "non-finite" in str(e)
+        assert os.path.exists(os.path.join(str(tmp_path / "exp_nan"), "ckpt", "ckpt_nan"))

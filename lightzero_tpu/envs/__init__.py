@@ -9,3 +9,4 @@ from lightzero_tpu.envs.board import gomoku  # registers 'gomoku'
 from lightzero_tpu.envs import breakout_grid  # registers "breakout_grid"
 from lightzero_tpu.envs.board import go  # registers "go"
 from lightzero_tpu.envs.board import chess  # registers "chess"
+from lightzero_tpu.envs import bsuite_like  # registers "deep_sea", "catch"

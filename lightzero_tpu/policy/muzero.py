@@ -214,7 +214,15 @@ class MuZeroPolicy:
                 optax.adam(lr),
             )
         elif cfg.optim_type == "AdamW":
-            opt = optax.adamw(lr, weight_decay=float(cfg.weight_decay))
+            # selective decay (reference configure_optimizers_nanogpt,
+            # lzero/policy/utils.py:275): decay only rank>=2 kernels, never
+            # biases / LayerNorm scales / embeddings
+            mask = None
+            if bool(cfg.get("selective_weight_decay", False)):
+                mask = lambda params: jax.tree_util.tree_map(
+                    lambda w: w.ndim >= 2, params
+                )
+            opt = optax.adamw(lr, weight_decay=float(cfg.weight_decay), mask=mask)
         else:
             raise ValueError(f"unknown optim_type {cfg.optim_type}")
         return optax.chain(optax.clip_by_global_norm(float(cfg.grad_clip_value)), opt)

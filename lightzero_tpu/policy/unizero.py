@@ -73,6 +73,20 @@ class UniZeroPolicy(MuZeroPolicy):
         cfg.encoder_clip_end = 10.0
         cfg.encoder_clip_anneal_steps = int(1e5)
         cfg.encoder_clip_anneal_type = "cosine"
+        # Head-Clip: annealed max-|logits| threshold per prediction head
+        # (reference head_clip_manager.py; disabled by default as there)
+        cfg.use_head_clip = False
+        cfg.head_clip_start = 30.0
+        cfg.head_clip_end = 15.0
+        cfg.head_clip_anneal_steps = int(1e5)
+        cfg.head_clip_anneal_type = "cosine"
+        # nanoGPT-style selective weight decay: AdamW decay applied only to
+        # rank>=2 kernels, not biases/LayerNorm/embeddings (reference
+        # configure_optimizers_nanogpt, lzero/policy/utils.py:275)
+        cfg.selective_weight_decay = True
+        cfg.weight_decay = 1e-4
+        cfg.optim_type = "AdamW"  # reference unizero.py:404
+        cfg.learning_rate = 1e-4
         # gradient accumulation: micro-batches averaged inside ONE jitted
         # step (reference accumulates across train iters, unizero.py:1032;
         # same effective update)
@@ -328,6 +342,11 @@ class UniZeroPolicy(MuZeroPolicy):
             alpha_loss=alpha_loss,
             entropy_weight=entropy_weight,
             latent_norm_max=latent_norm_max,
+            # per-head max |logits| for Head-Clip (reference
+            # head_clip_manager.py:184-260 monitors these)
+            policy_logits_max=jnp.max(jnp.abs(out["policy_logits"])),
+            value_logits_max=jnp.max(jnp.abs(out["value_logits"])),
+            reward_logits_max=jnp.max(jnp.abs(out["reward_logits"])),
             policy_entropy=jnp.mean(entropy),
             predicted_value=jnp.mean(pred_value0),
             target_value=jnp.mean(batch.target_value[:, 0]),
@@ -413,6 +432,33 @@ class UniZeroPolicy(MuZeroPolicy):
                     p[enc_key] = jax.tree_util.tree_map(lambda w: w * scale, p[enc_key])
             params = {**params, "params": p}
             logs["encoder_clip_scale"] = scale
+
+        # Head-Clip (reference head_clip_manager.py): when a prediction
+        # head's max |logits| exceeds an annealed threshold, rescale that
+        # head's weights by threshold/max — prevents logit explosion in
+        # long runs without touching the shared trunk.
+        if bool(cfg.get("use_head_clip", False)):
+            it = state.train_iter.astype(jnp.float32)
+            progress = jnp.minimum(1.0, it / float(cfg.head_clip_anneal_steps))
+            if str(cfg.get("head_clip_anneal_type", "cosine")) == "cosine":
+                cosw = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+                thr = float(cfg.head_clip_end) + (
+                    float(cfg.head_clip_start) - float(cfg.head_clip_end)
+                ) * cosw
+            else:
+                thr = (float(cfg.head_clip_start) * (1.0 - progress)
+                       + float(cfg.head_clip_end) * progress)
+            p = dict(params["params"])
+            for head_key, log_key in (
+                ("_policy_head", "policy_logits_max"),
+                ("_value_head", "value_logits_max"),
+                ("_reward_head", "reward_logits_max"),
+            ):
+                if head_key in p:
+                    hscale = jnp.minimum(1.0, thr / jnp.maximum(logs[log_key], 1e-9))
+                    p[head_key] = jax.tree_util.tree_map(lambda w: w * hscale, p[head_key])
+                    logs[f"head_clip_scale/{head_key}"] = hscale
+            params = {**params, "params": p}
 
         train_iter = state.train_iter + 1
         target_params = optax.periodic_update(

@@ -187,3 +187,52 @@ def test_context_threaded_reanalyze_smoke():
                       [np.ones(8, np.float32)] * 2)
     batch, idx = buf.sample(4, state.target_params)
     assert np.isfinite(np.asarray(batch.target_policy)).all()
+
+
+def test_head_clip_rescales_head_weights():
+    """Head-Clip (reference head_clip_manager.py): with a tiny threshold the
+    prediction heads are rescaled and logit maxima shrink."""
+    policy = _policy(use_head_clip=True, head_clip_start=1e-6, head_clip_end=1e-6)
+    state = policy.init_train_state(jax.random.PRNGKey(0))
+    batch = _batch(policy)
+    # asymmetric policy target: uniform target at zero-init logits has a
+    # zero CE gradient, so the policy head would never move
+    tp = np.zeros(batch.target_policy.shape, np.float32)
+    tp[..., 0] = 0.9
+    tp[..., 1] = 0.1
+    batch = batch._replace(target_policy=jnp.asarray(tp))
+    # step 1: heads are ~zero-init, logits grow through the update
+    state, logs, _ = policy.forward_learn(state, batch)
+    # step 2: now max|logits| exceeds the tiny threshold -> heads rescaled
+    state, logs2, _ = policy.forward_learn(state, batch)
+    assert float(logs2["head_clip_scale/_policy_head"]) < 1.0
+    # step 3: the clip applied at step 2 shrank the logits
+    _, logs3, _ = policy.forward_learn(state, batch)
+    assert float(logs3["policy_logits_max"]) < float(logs2["policy_logits_max"])
+
+
+def test_selective_weight_decay_spares_biases():
+    """nanoGPT-style decay mask: with huge weight_decay, AdamW shrinks
+    kernels but biases/scales (ndim<2) are not decayed."""
+    import optax
+
+    p_on = _policy(weight_decay=10.0, selective_weight_decay=True)
+    p_off = _policy(weight_decay=10.0, selective_weight_decay=False)
+    for p in (p_on, p_off):
+        assert p.cfg.optim_type == "AdamW"
+    s_on = p_on.init_train_state(jax.random.PRNGKey(0))
+    s_off = p_off.init_train_state(jax.random.PRNGKey(0))
+    batch = _batch(p_on)
+    s_on2, _, _ = p_on.forward_learn(s_on, batch)
+    s_off2, _, _ = p_off.forward_learn(s_off, batch)
+
+    def leaf_named(params, pred):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        return [(jax.tree_util.keystr(k), v) for k, v in flat if pred(v)]
+
+    # biases: decayed version must differ between masked/unmasked runs
+    b_on = dict(leaf_named(s_on2.params, lambda v: v.ndim == 1))
+    b_off = dict(leaf_named(s_off2.params, lambda v: v.ndim == 1))
+    diffs = [float(np.max(np.abs(np.asarray(b_on[k]) - np.asarray(b_off[k]))))
+             for k in b_on if k in b_off]
+    assert max(diffs) > 0.0  # wd=10 visibly decays biases only when unmasked

@@ -42,7 +42,14 @@ class SampledMuZeroModel(nn.Module):
     last_linear_layer_init_zero: bool = True
     self_supervised_learning_loss: bool = True
     sigma_min: float = 0.1
-    sigma_max: float = 1.0
+    # sigma_max 2.0 puts the sigmoid-bounded head's INIT at sigma ~ 1.05,
+    # matching the reference's exp(log_sigma) head (ding
+    # ReparameterizationHead 'conditioned', sigma=1 at zero-init). With the
+    # old cap 1.0 (init 0.55) the K tanh-squashed candidates stop covering
+    # the opposite torque sign as soon as mu drifts, and the tanh-jacobian
+    # density inflation locks the search into one-sided saturation
+    # (diagnosed on Pendulum: mu -> -0.9 in every state within 1k iters).
+    sigma_max: float = 2.0
     model_type: str = "mlp"  # 'mlp' | 'conv'
     num_channels: int = 64
     num_res_blocks: int = 1

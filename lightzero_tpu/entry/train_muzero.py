@@ -212,6 +212,8 @@ def train_muzero(
                 "steps_per_sec": cstats["steps_per_sec"],
                 "buffer_transitions": buffer.num_transitions,
                 "temperature": temperature,
+                **{k: v for k, v in cstats.items()
+                   if k in ("visit_mean_action", "collect_mu", "collect_sigma")},
             },
             collector.total_env_steps,
             prefix="collector/",

@@ -42,14 +42,32 @@ class SampledTrainBatch(NamedTuple):
     sampled_actions: jnp.ndarray
 
 
-def gaussian_tanh_sample(rng, mu, sigma, num_samples):
+def gaussian_tanh_sample(rng, mu, sigma, num_samples, prior_space: str = "pre_tanh"):
     """Sample K tanh-squashed actions; returns (actions (B,K,D),
-    log_probs (B,K)) (ptree_sez.py:106-114)."""
+    prior log-weights (B,K)) (ptree_sez.py:106-114).
+
+    ``prior_space`` selects the density used as the SEARCH prior over the
+    sampled candidate set:
+    - 'pre_tanh' (default): Gaussian density at the pre-squash point. The
+      reference uses the action-space density (with the tanh-jacobian
+      term, 'squashed' here), but that jacobian diverges as |a| -> 1, so
+      the most-saturated candidate's prior dominates pUCT, visits pile
+      onto it, and the CE loss then drags mu toward the bound — a
+      one-sided saturation runaway diagnosed on Pendulum (mu pinned at
+      -1.5 in every state by 10k steps, collect stuck at random level).
+      Weighting the DISCRETE candidate set by the pre-tanh Gaussian keeps
+      relative preferences without the divergence. The jacobian-corrected
+      density stays in the TRAINING loss (gaussian_tanh_logp), where the
+      change of variables is mathematically required.
+    - 'squashed': the reference-exact prior (used by the ptree_sez golden
+      test).
+    """
     B, D = mu.shape
     x = mu[:, None, :] + sigma[:, None, :] * jax.random.normal(rng, (B, num_samples, D), mu.dtype)
     a = jnp.tanh(x)
     logp = _normal_logp(x, mu[:, None, :], sigma[:, None, :])
-    logp = logp - jnp.sum(jnp.log(1.0 - a**2 + _LOG_EPS), axis=-1)
+    if prior_space == "squashed":
+        logp = logp - jnp.sum(jnp.log(1.0 - a**2 + _LOG_EPS), axis=-1)
     return a, logp
 
 
@@ -147,6 +165,10 @@ class SampledMuZeroPolicy(MuZeroPolicy):
             a_rng, search_out.visit_counts, temperature, deterministic=deterministic
         )
         action = root_actions[jnp.arange(B), slot]  # (B, D) in [-1, 1]
+        # live diagnosis telemetry: where do the search targets pull mu?
+        vw = search_out.visit_counts.astype(jnp.float32)
+        vw = vw / jnp.maximum(jnp.sum(vw, axis=-1, keepdims=True), 1.0)
+        visit_mean_action = jnp.einsum("bk,bkd->bd", vw, root_actions)
         return dict(
             action=action,
             chosen_slot=slot,
@@ -155,6 +177,9 @@ class SampledMuZeroPolicy(MuZeroPolicy):
             searched_value=search_out.root_value,
             predicted_value=pred_value,
             distribution_entropy=dist_entropy,
+            visit_mean_action=jnp.mean(visit_mean_action, axis=-1),
+            collect_mu=jnp.mean(jnp.tanh(out0["mu"]), axis=-1),
+            collect_sigma=jnp.mean(out0["sigma"], axis=-1),
         )
 
     # ---------------------------------------------------------------- learn

@@ -111,6 +111,7 @@ class RolloutCollector:
         self.total_env_steps = 0
         self.total_episodes = 0
         self.episode_returns: List[float] = []
+        self._last_records: Dict = {}
         self._env_return = np.zeros(num_envs)
         self._state = None
         self._jit_rollout = jax.jit(self._rollout)
@@ -168,6 +169,12 @@ class RolloutCollector:
                     if "root_sampled_actions" in out
                     else {}
                 ),
+                # sampled-policy live telemetry (diagnosing candidate drift)
+                **{
+                    k: out[k]
+                    for k in ("visit_mean_action", "collect_mu", "collect_sigma")
+                    if k in out
+                },
             )
             return (step.state, step.obs, step.legal_mask, step.to_play, collect_state), record
 
@@ -202,6 +209,7 @@ class RolloutCollector:
                 jnp.asarray(epsilon, jnp.float32),
             )
             records = jax.tree_util.tree_map(np.asarray, records)
+            self._last_records = records
             T = self.rollout_length
             steps_taken += T * self.num_envs
             self.total_env_steps += T * self.num_envs
@@ -267,4 +275,7 @@ class RolloutCollector:
             mean_return=(float(np.mean([r for r in self.episode_returns[-20:]]))
                          if self.episode_returns else 0.0),
         )
+        for k in ("visit_mean_action", "collect_mu", "collect_sigma"):
+            if k in self._last_records:
+                stats[k] = float(np.mean(np.asarray(self._last_records[k])))
         return episodes, priorities, stats

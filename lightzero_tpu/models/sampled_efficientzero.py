@@ -125,10 +125,14 @@ class SampledEfficientZeroModel(nn.Module):
             norm_type=self.norm_type,
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
+        # zero-init policy heads (see sampled_muzero.py: prevents the
+        # theta_dot-driven spin lock-in at init)
         self._mu_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
-                                 norm_type=self.norm_type)
+                                 norm_type=self.norm_type,
+                                 last_linear_layer_init_zero=self.last_linear_layer_init_zero)
         self._sigma_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
-                                    norm_type=self.norm_type)
+                                    norm_type=self.norm_type,
+                                    last_linear_layer_init_zero=self.last_linear_layer_init_zero)
         self._proj = SSLProjector()
 
     def representation(self, obs):

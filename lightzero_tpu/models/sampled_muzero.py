@@ -97,11 +97,18 @@ class SampledMuZeroModel(nn.Module):
             norm_type=self.norm_type,
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
+        # zero-init last layer (reference last_linear_layer_init_zero applies
+        # to the policy head too): mu=0 / sigma~1.05 at init. A randomly-init
+        # mu head responds to the UNNORMALIZED theta_dot input, locking the
+        # collect policy into one spin direction within the first episodes
+        # (diagnosed on Pendulum: collect_mu=-0.87 before any training).
         self._mu_head = MLPTorso(
-            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type
+            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
         self._sigma_head = MLPTorso(
-            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type
+            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
+            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
         self._proj = SSLProjector()
 

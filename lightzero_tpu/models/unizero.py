@@ -100,10 +100,13 @@ class UniZeroModel(nn.Module):
         if self.continuous_action:
             # Gaussian policy heads (Sampled UniZero,
             # lzero/model/sampled_unizero_model.py)
+            # zero-init (see sampled_muzero.py: prevents init-policy lock-in)
             self._mu_head = MLPTorso(hidden_sizes=(D,), output_size=self.action_space_size,
-                                     norm_type=self.norm_type)
+                                     norm_type=self.norm_type,
+                                     last_linear_layer_init_zero=True)
             self._sigma_head = MLPTorso(hidden_sizes=(D,), output_size=self.action_space_size,
-                                        norm_type=self.norm_type)
+                                        norm_type=self.norm_type,
+                                        last_linear_layer_init_zero=True)
         self._wm = Transformer(self.tcfg)
         head = lambda out: MLPTorso(
             hidden_sizes=(D,),

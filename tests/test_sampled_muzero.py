@@ -31,11 +31,18 @@ def test_gaussian_tanh_logp_consistency():
 
     mu = jnp.asarray([[0.3, -0.2]])
     sigma = jnp.asarray([[0.5, 0.8]])
-    actions, logp = gaussian_tanh_sample(jax.random.PRNGKey(0), mu, sigma, 6)
-    # recomputing log-prob from the squashed action matches the sampled one
+    # 'squashed' space: the sample-returned weight equals the tanh-corrected
+    # density recomputed from the squashed action (the TRAINING density)
+    actions, logp = gaussian_tanh_sample(jax.random.PRNGKey(0), mu, sigma, 6,
+                                         prior_space="squashed")
     logp2 = gaussian_tanh_logp(actions[0], mu, sigma)
     np.testing.assert_allclose(np.asarray(logp[0]), np.asarray(logp2), rtol=1e-3, atol=1e-3)
     assert (np.abs(np.asarray(actions)) <= 1.0).all()
+    # default 'pre_tanh' SEARCH prior: bounded — never exceeds the Gaussian
+    # mode density (no tanh-jacobian divergence at |a| -> 1)
+    _, logp_prior = gaussian_tanh_sample(jax.random.PRNGKey(0), mu, sigma, 6)
+    mode = float(np.sum(-np.log(np.asarray(sigma)) - 0.5 * np.log(2 * np.pi)))
+    assert float(np.max(np.asarray(logp_prior))) <= mode + 1e-5
 
 
 def test_sampled_collect_shapes():

@@ -29,14 +29,16 @@ def test_config_imports_and_compiles(path, tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     mod = _load(path)
-    assert hasattr(mod, "main_config"), path
-    cfg = mod.main_config
-    ptype = cfg.get("policy", {}).get("type", "muzero")
-    if "alphazero" in ptype:
-        pass  # az entries use their own default merging
-    cls = POLICY_REGISTRY.get(ptype)
-    compiled = compile_config(cfg, cls.default_config(), seed=0, save_cfg=False)
-    assert compiled.policy.num_simulations > 0
+    # multitask entries expose a list of per-task configs instead
+    cfgs = ([mod.main_config] if hasattr(mod, "main_config")
+            else list(getattr(mod, "task_configs")))
+    for cfg in cfgs:
+        ptype = cfg.get("policy", {}).get("type", "muzero")
+        if "alphazero" in ptype:
+            pass  # az entries use their own default merging
+        cls = POLICY_REGISTRY.get(ptype)
+        compiled = compile_config(cfg, cls.default_config(), seed=0, save_cfg=False)
+        assert compiled.policy.num_simulations > 0
 
 
 def test_zoo_has_configs():

@@ -106,6 +106,12 @@ def train_multitask_balance(
     stage = int(pcfg.model.get("curriculum_stage", 0))
     solved: Dict[int, bool] = {t: False for t in range(num_tasks)}
     task_returns: Dict[int, float] = {t: -1e9 for t in range(num_tasks)}
+    # debounce: a task counts as solved only after ``solved_patience``
+    # CONSECUTIVE above-threshold evals — with few-episode evaluators a
+    # single lucky eval would otherwise freeze the trunk (stage switch)
+    # before the tasks have actually been learned
+    solved_patience = int(pcfg.get("solved_patience", 2))
+    solved_streak: Dict[int, int] = {t: 0 for t in range(num_tasks)}
 
     def total_env_steps():
         return sum(c.total_env_steps for c in collectors)
@@ -123,12 +129,24 @@ def train_multitask_balance(
                 res = ev.eval(state.params)
                 task_returns[ti] = res["mean_return"]
                 was = solved[ti]
-                solved[ti] = res["mean_return"] >= solved_thresholds[ti]
+                if res["mean_return"] >= solved_thresholds[ti]:
+                    solved_streak[ti] += 1
+                else:
+                    solved_streak[ti] = 0
+                solved[ti] = solved_streak[ti] >= solved_patience
                 if solved[ti] != was:
                     logger.info(
                         f"task{ti} {'SOLVED' if solved[ti] else 'regressed'} "
                         f"(return={res['mean_return']:.1f})"
                     )
+            logger.log_scalars(
+                {f"task{ti}/eval_mean_return": task_returns[ti] for ti in range(num_tasks)},
+                sum(c.total_env_steps for c in collectors),
+                prefix="evaluator/",
+            )
+            logger.info(
+                "EVAL " + " ".join(f"task{ti}={task_returns[ti]:.1f}" for ti in range(num_tasks))
+            )
             # curriculum stage advance (balance entry :416-460)
             frac = sum(solved.values()) / num_tasks
             if lora_on and stage < max_stage and frac >= stage_solved_frac:

@@ -11,7 +11,7 @@ main_config = Config(dict(
     policy=dict(
         type="muzero",
         model=dict(observation_shape=(8, 8, 20), action_space_size=4672,
-                   model_type="conv", num_channels=96, num_res_blocks=6,
+                   model_type="conv", downsample=False, num_channels=96, num_res_blocks=6,
                    support_scale=25),
         num_simulations=50, batch_size=256, update_per_collect=100, n_episode=8,
         eval_freq=500, td_steps=5, num_unroll_steps=5,

@@ -10,6 +10,7 @@ main_config = Config(dict(
         type="muzero", env_type="board_games",
         model=dict(observation_shape=(6, 7, 3), action_space_size=7,
                    model_type="conv", num_channels=64, num_res_blocks=2,
+                   downsample=False,  # 6x7 board: the 16x Atari downsample would zero it out
                    support_scale=10),
         discount_factor=1.0, num_simulations=50, batch_size=256,
         update_per_collect=50, n_episode=8, eval_freq=100,

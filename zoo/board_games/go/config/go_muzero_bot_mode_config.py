@@ -10,7 +10,7 @@ main_config = Config(dict(
     policy=dict(
         type="muzero", env_type="board_games",
         model=dict(observation_shape=(9, 9, 3), action_space_size=82,
-                   model_type="conv", num_channels=64, num_res_blocks=2,
+                   model_type="conv", downsample=False, num_channels=64, num_res_blocks=2,
                    support_scale=10),
         discount_factor=1.0, num_simulations=100, batch_size=256,
         update_per_collect=100, n_episode=8, eval_freq=200,

@@ -50,7 +50,14 @@ def train_alphazero(
     pcfg = cfg.policy
 
     env_key = cfg.env.get("type", "tictactoe")
-    env_kwargs = dict(cfg.env.get("env_kwargs", {}))
+    # forward top-level env keys matching the constructor (board_size, komi,
+    # ...); battle_mode is owned by the entry (self-play + bot eval)
+    import inspect
+
+    _sig = inspect.signature(ENV_REGISTRY.get(env_key).__init__)
+    env_kwargs = {k: v for k, v in dict(cfg.env).items()
+                  if k in _sig.parameters and k not in ("self", "battle_mode")}
+    env_kwargs.update(dict(cfg.env.get("env_kwargs", {})))
     selfplay_env = ENV_REGISTRY.build(env_key, battle_mode="self_play_mode", **env_kwargs)
     eval_env = ENV_REGISTRY.build(env_key, battle_mode="play_with_bot_mode", **env_kwargs)
 

@@ -57,6 +57,16 @@ def create_env(env_cfg: Config):
     else:
         return None  # fall back to gymnasium host env
     kwargs = dict(kwargs)
+    # forward top-level env-config keys that match the env constructor
+    # (battle_mode, board_size, komi, ...) — the reference's env configs put
+    # these at the env level, not nested; dropping them silently changed
+    # play_with_bot_mode into self_play_mode for board games
+    import inspect
+
+    sig = inspect.signature(ENV_REGISTRY.get(key).__init__)
+    for k, v in dict(env_cfg).items():
+        if k in sig.parameters and k != "self":
+            kwargs[k] = v
     kwargs.update(env_cfg.get("env_kwargs", {}))
     return ENV_REGISTRY.build(key, **kwargs)
 

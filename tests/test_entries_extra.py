@@ -78,3 +78,20 @@ def test_multitask_entry_smoke(tmp_path):
     )
     assert stats["train_iter"] > 0
     assert len(stats["task_returns"]) == 2
+
+
+def test_create_env_forwards_top_level_keys():
+    """create_env must forward battle_mode/board_size-style top-level env
+    keys to the constructor (regression: they were dropped, silently turning
+    play_with_bot_mode into self_play_mode for board games)."""
+    from lightzero_tpu.config import Config
+    from lightzero_tpu.entry.train_muzero import create_env
+
+    env = create_env(Config(dict(type="connect4", battle_mode="play_with_bot_mode")))
+    assert env.battle_mode == "play_with_bot_mode"
+    env2 = create_env(Config(dict(type="go", board_size=5, komi=5.5)))
+    assert env2.S == 5 and env2.komi == 5.5
+    # env_kwargs still wins over top-level duplicates
+    env3 = create_env(Config(dict(type="go", board_size=5,
+                                  env_kwargs=dict(board_size=7))))
+    assert env3.S == 7

@@ -12,7 +12,9 @@ main_config = Config(dict(
                    model_type="conv", num_channels=64, num_res_blocks=2,
                    downsample=False,  # 6x7 board: the 16x Atari downsample would zero it out
                    support_scale=10),
-        discount_factor=1.0, num_simulations=50, batch_size=256,
+        # large td_steps: the value target reaches the final game outcome
+        # (reference connect4_muzero_bot_mode_config.py:51-54)
+        td_steps=21, discount_factor=1.0, num_simulations=50, batch_size=256,
         update_per_collect=50, n_episode=8, eval_freq=100,
         manual_temperature_decay=True,
     ),

@@ -3,16 +3,29 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 North-star (BASELINE.json): batched mctx-style search fused with nets vs
-the reference's C++ ctree + torch-CPU nets loop. The reference baseline is
-measured once (scripts/measure_reference_baseline.py, torch CPU) and cached
-in BASELINE_MEASURED.json; vs_baseline = ours / reference.
+the reference's C++ ctree + torch-CPU nets loop
+(/root/reference/lzero/mcts/tree_search/mcts_ctree.py:293-366). The
+reference baseline is measured once (scripts/measure_reference_baseline.py,
+torch CPU) and cached in BASELINE_MEASURED.json; vs_baseline = ours / ref.
+
+Budgeted for a COLD process on a tunneled chip (round-2 lesson: rc=124):
+- primary measurement at batch=1024 (compile is cached persistently);
+- JSON is emitted as soon as the first timed round completes if the
+  elapsed wall-clock is already high;
+- a watchdog thread force-emits the best-so-far result at T_HARD seconds
+  so the driver ALWAYS gets a line even if a later compile hangs;
+- batch=4096 is attempted only with ample remaining budget.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+T_START = time.perf_counter()
+T_HARD = float(os.environ.get("LZT_BENCH_DEADLINE_S", "230"))  # force-emit by then
 
 import jax
 import jax.numpy as jnp
@@ -21,19 +34,52 @@ from lightzero_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
 
+_BEST = {"result": None}
+_EMITTED = threading.Event()
 
-def bench_search(batch_size=4096, num_simulations=50, latent_dim=128, num_actions=4, iters=10):
-    from lightzero_tpu.policy import MuZeroPolicy
 
-    cfg = MuZeroPolicy.default_config()
-    cfg.model.observation_shape = 8
-    cfg.model.action_space_size = num_actions
-    cfg.model.latent_state_dim = latent_dim
-    cfg.model.support_scale = 300
-    cfg.num_simulations = num_simulations
-    policy = MuZeroPolicy(cfg)
-    params = policy.model.init_params(jax.random.PRNGKey(0), batch_size=2)
+def _emit_and_exit():
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    r = _BEST["result"]
+    if r is None:
+        r = {
+            "metric": "mcts_sims_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "sims/s (no measurement completed within deadline)",
+            "vs_baseline": None,
+        }
+    print(json.dumps(r), flush=True)
 
+
+def _watchdog():
+    while not _EMITTED.is_set():
+        if time.perf_counter() - T_START > T_HARD:
+            _emit_and_exit()
+            os._exit(0)
+        time.sleep(1.0)
+
+
+def elapsed():
+    return time.perf_counter() - T_START
+
+
+def _record(sims_per_sec, latency, batch_size, baseline):
+    cur = _BEST["result"]
+    if cur is not None and cur["value"] >= sims_per_sec:
+        return
+    _BEST["result"] = {
+        "metric": "mcts_sims_per_sec_per_chip",
+        "value": round(sims_per_sec, 1),
+        "unit": "sims/s (batch=%d, 50 sims, 128-d latent MuZero MLP, search+nets fused)"
+        % batch_size,
+        "vs_baseline": round(sims_per_sec / baseline, 2) if baseline else None,
+        "search_latency_ms": round(latency * 1e3, 2),
+    }
+
+
+def bench_search(policy, params, batch_size, num_simulations=50, num_actions=4, iters=5):
     obs = jnp.ones((batch_size, 8), jnp.float32)
     legal = jnp.ones((batch_size, num_actions), bool)
     rng = jax.random.PRNGKey(1)
@@ -52,42 +98,62 @@ def bench_search(batch_size=4096, num_simulations=50, latent_dim=128, num_action
         return out["action"], out["searched_value"]
 
     jit_run = jax.jit(run)
-    # warmup/compile
-    jax.block_until_ready(jit_run(rng))
-    # the shared/tunneled chip shows large run-to-run variance: measure
-    # several rounds and report the best (standard noisy-bench practice)
+    jax.block_until_ready(jit_run(rng))  # compile (persistent-cache hit on rerun)
+
+    # first timed round — this alone is a valid measurement
     best_dt = float("inf")
-    for _ in range(3):
+    rounds = 0
+    while rounds < 3:
         t0 = time.perf_counter()
-        for i in range(iters):
+        for _ in range(iters):
             rng, r = jax.random.split(rng)
             out = jit_run(r)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        best_dt = min(best_dt, dt)
-    sims_per_sec = batch_size * num_simulations / best_dt
-    return sims_per_sec, best_dt
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+        rounds += 1
+        yield batch_size * num_simulations / best_dt, best_dt
 
 
 def main():
-    sims_per_sec, latency = bench_search()
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f).get("ctree_sims_per_sec")
-    vs = (sims_per_sec / baseline) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "mcts_sims_per_sec_per_chip",
-                "value": round(sims_per_sec, 1),
-                "unit": "sims/s (batch=4096, 50 sims, 128-d latent MuZero MLP, search+nets fused)",
-                "vs_baseline": round(vs, 2) if vs else None,
-                "search_latency_ms": round(latency * 1e3, 2),
-            }
-        )
-    )
+
+    from lightzero_tpu.policy import MuZeroPolicy
+
+    cfg = MuZeroPolicy.default_config()
+    cfg.model.observation_shape = 8
+    cfg.model.action_space_size = 4
+    cfg.model.latent_state_dim = 128
+    cfg.model.support_scale = 300
+    cfg.num_simulations = 50
+    policy = MuZeroPolicy(cfg)
+    params = policy.model.init_params(jax.random.PRNGKey(0), batch_size=2)
+
+    # primary: batch=1024 — record after EVERY timed round so the watchdog
+    # always has a number once the first round lands
+    for sims, dt in bench_search(policy, params, 1024):
+        _record(sims, dt, 1024, baseline)
+        if elapsed() > T_HARD - 30:
+            break
+
+    # escalate to batch=4096 only with ample remaining budget
+    if elapsed() < T_HARD - 120:
+        try:
+            for sims, dt in bench_search(policy, params, 4096):
+                _record(sims, dt, 4096, baseline)
+                if elapsed() > T_HARD - 30:
+                    break
+        except Exception:
+            pass  # keep the batch=1024 number
+
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -108,7 +108,11 @@ def _completed_q(cfg: GumbelSearchConfig, tree: Tree, node: jnp.ndarray):
     if cfg.players == 1:
         q = creward + cfg.discount * cvalue
     else:
-        q = creward + cfg.discount * (-cvalue)
+        # runtime 1p/2p dispatch: to_play==-1 (play_with_bot_mode) means
+        # single-player semantics even for board games (cnode.cpp derives
+        # players from virtual_to_play at runtime)
+        one_p = (tree.to_play[:, :1] == -1)
+        q = creward + cfg.discount * jnp.where(one_p, cvalue, -cvalue)
     visited = (cvisit > 0) & legal
     probs = jax.nn.softmax(jnp.where(legal, logits, -jnp.inf), axis=-1)
     sum_n = jnp.sum(jnp.where(legal, cvisit, 0), axis=-1).astype(q.dtype)

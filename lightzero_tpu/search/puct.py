@@ -167,7 +167,12 @@ def _ucb_scores(
     if cfg.players == 1:
         q = child_reward + cfg.discount * child_value
     else:
-        q = child_reward + cfg.discount * (-child_value)
+        # the reference derives 1p/2p AT RUNTIME from virtual_to_play
+        # (cnode.cpp cbatch_traverse: all -1 => players=1) — bot-mode board
+        # games (to_play=-1) use single-player semantics even when the
+        # policy config says board_games
+        one_p = (tree.to_play[:, :1] == -1)
+        q = child_reward + cfg.discount * jnp.where(one_p, child_value, -child_value)
     value_score = minmax_normalize(tree.vmin, tree.vmax, cfg.value_delta_max, q)
     value_score = jnp.clip(value_score, 0.0, 1.0)
     # unvisited children score with (normalized, clipped) parent mean_q
@@ -369,7 +374,9 @@ def _traverse(
             if cfg.players == 1:
                 q_arm = r_true + cfg.discount * reuse_value.astype(dtype)
             else:
-                q_arm = r_true + cfg.discount * (-reuse_value.astype(dtype))
+                q_arm = r_true + cfg.discount * jnp.where(
+                    to_play == -1, reuse_value.astype(dtype), -reuse_value.astype(dtype)
+                )
             v_arm = jnp.clip(
                 minmax_normalize(tree.vmin, tree.vmax, cfg.value_delta_max, q_arm), 0.0, 1.0
             )
@@ -556,6 +563,10 @@ def _expand_and_backup(
 
     valid = pos < path_len[:, None]  # (B, P)
     if cfg.players == 2:
+        # runtime 1p/2p dispatch on to_play == -1 (play_with_bot_mode):
+        # reference ptree_mz.backpropagate:525 takes the single-player path
+        # for to_play in {-1, None} even for board games
+        one_p = (leaf_to_play == -1)[:, None]  # (B, 1)
         tp_path = jnp.where(exp_mask, leaf_to_play[:, None], st.path_to_play)
         same = tp_path == leaf_to_play[:, None]
 
@@ -568,7 +579,7 @@ def _expand_and_backup(
     if cfg.players == 1:
         r_signed = node_r
     else:
-        r_signed = jnp.where(same, -node_r, node_r)
+        r_signed = jnp.where(same & ~one_p, -node_r, node_r)
     # shift left: position i folds in reward/validity of position i+1
     r_next = jnp.concatenate([r_signed[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)
     valid_next = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
@@ -589,7 +600,7 @@ def _expand_and_backup(
     contrib = A_sfx * value[:, None] + B_sfx  # (B, P), aligned to path pos
 
     if cfg.players == 2:
-        contrib_signed = jnp.where(same, contrib, -contrib)
+        contrib_signed = jnp.where(same | one_p, contrib, -contrib)
     else:
         contrib_signed = contrib
     contrib_signed = jnp.where(valid, contrib_signed, 0.0)
@@ -612,7 +623,7 @@ def _expand_and_backup(
     if cfg.players == 1:
         q = node_r + cfg.discount * node_value
     else:
-        q = node_r + cfg.discount * (-node_value)
+        q = node_r + cfg.discount * jnp.where(one_p, node_value, -node_value)
     q = jnp.where(valid, q, jnp.inf)
     vmin = jnp.minimum(tree.vmin, jnp.min(q, axis=1))
     q = jnp.where(valid, q, -jnp.inf)

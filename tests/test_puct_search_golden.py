@@ -209,6 +209,28 @@ def test_two_player_masked_with_noise():
     _compare(obs, legal, 35, A, 1.0, [2, 1, 1], players=2, noises=noises)
 
 
+def test_bot_mode_board_game_single_player_backup():
+    """play_with_bot_mode: board-game policy config (players=2) but
+    to_play=-1 — the search must take the reference's SINGLE-player path
+    (ptree_mz.backpropagate:525 dispatches on to_play==-1 at runtime;
+    cnode.cpp derives players from virtual_to_play). Regression test for
+    the round-2 Connect4 bot-mode learning failure: the static players=2
+    branch negated child values in pUCT and rewards in backup."""
+    obs = [0.15, -0.45, 0.6]
+    A = 7
+    legal = [list(range(A))] * 3
+    _compare(obs, legal, 50, A, 1.0, [-1, -1, -1], players=2)
+
+
+def test_bot_mode_masked_with_noise():
+    rng = np.random.RandomState(11)
+    obs = [0.33, -0.9]
+    A = 7
+    legal = [[0, 1, 3, 5], list(range(A))]
+    noises = [rng.dirichlet([0.3] * len(l)) for l in legal]
+    _compare(obs, legal, 40, A, 1.0, [-1, -1], players=2, noises=noises)
+
+
 def test_visit_count_invariants():
     """Sum of root-child visits == num_simulations; root visits == sims+1."""
     import jax

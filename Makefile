@@ -1,9 +1,13 @@
 # Developer workflow (role of the reference Makefile:36-64)
 PYTHON ?= python
 
-.PHONY: test unittest envtest bench clean format
+.PHONY: test unittest unittest-fast envtest suite bench clean format
 
 test: unittest
+
+# fast tier: <5 min on a 1-core host — compile-heavy files are marked slow
+unittest-fast:
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
 
 unittest:
 	$(PYTHON) -m pytest tests/ -q -m "not envtest"
@@ -13,6 +17,11 @@ envtest:
 
 all-tests:
 	$(PYTHON) -m pytest tests/ -q
+
+# full suite, one pytest process per file: a single long-lived process
+# intermittently SIGABRTs in the XLA-CPU compile path on this host
+suite:
+	bash scripts/run_suite.sh
 
 bench:
 	$(PYTHON) bench.py

@@ -82,6 +82,7 @@ def loss_landscape_api(
     span: float = 1.0,
     steps: int = 11,
     rng: Optional[jax.Array] = None,
+    render: bool = True,
 ) -> dict:
     """Compute and save the loss surface around ``params`` on ``batch``
     (role of reference loss_landscape_api +
@@ -99,10 +100,19 @@ def loss_landscape_api(
     if mode == "1d":
         surface = loss_surface_1d(loss_fn, params, d1, alphas)
         np.savez(os.path.join(out_dir, "loss_surface_1d.npz"), alphas=alphas, loss=surface)
-        return dict(alphas=alphas, loss=surface)
-    d2 = random_direction(params, r2)
-    surface = loss_surface_2d(loss_fn, params, d1, d2, alphas, alphas)
-    np.savez(
-        os.path.join(out_dir, "loss_surface_2d.npz"), alphas=alphas, betas=alphas, loss=surface
-    )
-    return dict(alphas=alphas, betas=alphas, loss=surface)
+        out = dict(alphas=alphas, loss=surface)
+    else:
+        d2 = random_direction(params, r2)
+        surface = loss_surface_2d(loss_fn, params, d1, d2, alphas, alphas)
+        np.savez(
+            os.path.join(out_dir, "loss_surface_2d.npz"), alphas=alphas, betas=alphas, loss=surface
+        )
+        out = dict(alphas=alphas, betas=alphas, loss=surface)
+    if render:  # PNG + ParaView VTK (reference landscape_plots + h5->vtp)
+        try:
+            from lightzero_tpu.loss_landscape.plots import render_landscape_dir
+
+            out["rendered"] = render_landscape_dir(out_dir)
+        except Exception:  # rendering is never allowed to kill a run
+            out["rendered"] = []
+    return out

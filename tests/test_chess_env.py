@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 from lightzero_tpu.envs.board.chess import (
     ChessEnv, _MoveCtx, legal_mask_full, make_move, state_from_fen, NUM_ACTIONS, _T,
 )

@@ -12,7 +12,7 @@ from lightzero_tpu.models.sampled_efficientzero import SampledEfficientZeroModel
 from lightzero_tpu.models.sampled_muzero import SampledMuZeroModel
 from lightzero_tpu.models.stochastic_muzero import StochasticMuZeroModel
 
-pytestmark = [pytest.mark.unittest]
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 OBS = (8, 8, 3)  # small NHWC image
 

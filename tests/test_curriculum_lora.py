@@ -12,7 +12,7 @@ from lightzero_tpu.models.unizero_world_model.transformer import (
 )
 from lightzero_tpu.policy.unizero import UniZeroPolicy
 
-pytestmark = [pytest.mark.unittest]
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _model(stage=0):

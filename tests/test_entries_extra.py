@@ -4,7 +4,7 @@ import pytest
 
 import jax
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def test_rezero_buffer_reanalyze():

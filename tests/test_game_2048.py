@@ -12,7 +12,7 @@ from lightzero_tpu.envs.game_2048 import (
     _slide_row_left,
 )
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def test_slide_row_merges():

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from lightzero_tpu.policy import MuZeroPolicy
 
-pytestmark = [pytest.mark.unittest]
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _cfg(**over):

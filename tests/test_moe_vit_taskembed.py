@@ -11,7 +11,7 @@ from lightzero_tpu.models.unizero import UniZeroModel
 from lightzero_tpu.models.unizero_world_model.moe import MoELayer, SwiGLUFeedForward
 from lightzero_tpu.models.vit import ViT
 
-pytestmark = [pytest.mark.unittest]
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def test_swiglu_shapes():

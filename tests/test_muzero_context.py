@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _make_policy():

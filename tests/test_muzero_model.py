@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from lightzero_tpu.models import MuZeroModel
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 @pytest.mark.parametrize("ssl", [False, True])

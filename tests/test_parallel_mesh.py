@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from lightzero_tpu.parallel import mesh as mesh_lib
 from lightzero_tpu.parallel.mesh import make_mesh, dp_train_step, replicate, shard_batch
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _make_policy(batch_size=16):

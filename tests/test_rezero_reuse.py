@@ -15,6 +15,7 @@ import pytest
 from conftest import has_reference, load_reference_module
 
 pytestmark = [
+    pytest.mark.slow,  # compile-heavy: not in the fast tier
     pytest.mark.unittest,
     pytest.mark.skipif(not has_reference(), reason="reference tree not mounted"),
 ]

@@ -8,7 +8,7 @@ import pytest
 
 import jax
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _tiny_cfg(tmp_path):

@@ -5,7 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.unittest
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def test_transformer_cache_matches_full_forward():

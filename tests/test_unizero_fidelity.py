@@ -12,7 +12,7 @@ from lightzero_tpu.config import Config
 from lightzero_tpu.models.unizero import UniZeroModel
 from lightzero_tpu.policy.unizero import UniZeroPolicy
 
-pytestmark = [pytest.mark.unittest]
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
 
 
 def _policy(**over):

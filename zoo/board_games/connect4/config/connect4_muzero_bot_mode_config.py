@@ -9,14 +9,15 @@ main_config = Config(dict(
     policy=dict(
         type="muzero", env_type="board_games",
         model=dict(observation_shape=(6, 7, 3), action_space_size=7,
-                   model_type="conv", num_channels=64, num_res_blocks=2,
+                   model_type="conv", num_channels=64, num_res_blocks=1,
                    downsample=False,  # 6x7 board: the 16x Atari downsample would zero it out
                    support_scale=10),
         # large td_steps: the value target reaches the final game outcome
-        # (reference connect4_muzero_bot_mode_config.py:51-54)
+        # (reference connect4_muzero_bot_mode_config.py:51-54); fixed collect
+        # temperature 0.25 + grad_clip 0.5 per the reference config
         td_steps=21, discount_factor=1.0, num_simulations=50, batch_size=256,
-        update_per_collect=50, n_episode=8, eval_freq=100,
-        manual_temperature_decay=True,
+        update_per_collect=50, n_episode=8, eval_freq=2000,
+        learning_rate=0.003, grad_clip_value=0.5,
     ),
 ))
 

@@ -1,0 +1,24 @@
+"""TicTacToe MuZero vs rule bot (reference:
+zoo/board_games/tictactoe/config/tictactoe_muzero_bot_mode_config.py)."""
+from lightzero_tpu.config import Config
+
+main_config = Config(dict(
+    exp_name="data_mz/tictactoe_muzero_bot_mode_ns25_seed0",
+    env=dict(type="tictactoe", battle_mode="play_with_bot_mode", stop_value=0.99,
+             collector_env_num=8, evaluator_env_num=5),
+    policy=dict(
+        type="muzero", env_type="board_games",
+        model=dict(observation_shape=(3, 3, 3), action_space_size=9,
+                   model_type="conv", num_channels=16, num_res_blocks=1,
+                   downsample=False, support_scale=10),
+        # board games: td_steps spans the whole game so the value target is
+        # the final outcome (reference config: td_steps=9, discount=1)
+        td_steps=9, num_unroll_steps=3, discount_factor=1.0,
+        num_simulations=25, batch_size=256, update_per_collect=50,
+        n_episode=8, eval_freq=500, learning_rate=0.003, grad_clip_value=0.5,
+    ),
+))
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_muzero
+    train_muzero(main_config, seed=0, max_env_step=int(2e5))

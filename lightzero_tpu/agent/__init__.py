@@ -4,4 +4,10 @@ from lightzero_tpu.agent.agent import (
     EfficientZeroAgent,
     UniZeroAgent,
     StochasticMuZeroAgent,
+    GumbelMuZeroAgent,
+    AlphaZeroAgent,
+    SampledAlphaZeroAgent,
+    SampledMuZeroAgent,
+    SampledEfficientZeroAgent,
 )
+from lightzero_tpu.agent.configs import BUNDLED_CONFIGS

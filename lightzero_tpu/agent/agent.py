@@ -12,9 +12,12 @@ from typing import Any, Dict, Optional
 import jax
 
 from lightzero_tpu.config import Config
+from lightzero_tpu.agent.configs import BUNDLED_CONFIGS as _ZOO
 
-# bundled per-env snapshots (role of lzero/agent/config/<algo>/<env>.py)
-BUNDLED_CONFIGS: Dict[str, Dict[str, Config]] = {
+# legacy aliases kept for backward compatibility; the canonical bundled
+# snapshot zoo lives in lightzero_tpu/agent/configs.py (role of
+# lzero/agent/config/<algo>/<env>.py)
+_LEGACY_CONFIGS: Dict[str, Dict[str, Config]] = {
     "muzero": {
         "CartPole-v0": Config(
             dict(
@@ -99,7 +102,8 @@ class Agent:
     def __init__(self, env_id: Optional[str] = None, cfg: Optional[Config] = None,
                  exp_name: Optional[str] = None, seed: int = 0):
         if cfg is None:
-            table = BUNDLED_CONFIGS.get(self.algo, {})
+            table = dict(_LEGACY_CONFIGS.get(self.algo, {}))
+            table.update(_ZOO.get(self.algo, {}))
             if env_id not in table:
                 raise KeyError(
                     f"no bundled {self.algo} config for {env_id!r}; available: "
@@ -115,14 +119,23 @@ class Agent:
         self.state = None
 
     def train(self, max_env_step: int = int(1e5), max_train_iter: int = int(1e9)) -> Dict:
-        from lightzero_tpu.entry import train_muzero
+        ptype = self.cfg.get("policy", {}).get("type", self.algo)
+        if "alphazero" in ptype:  # env-as-simulator family uses its own entry
+            from lightzero_tpu.entry import train_alphazero as entry
+        else:
+            from lightzero_tpu.entry import train_muzero as entry
 
-        self.policy, self.state, stats = train_muzero(
+        self.policy, self.state, stats = entry(
             self.cfg, seed=self.seed, max_env_step=max_env_step, max_train_iter=max_train_iter
         )
         return stats
 
-    def batch_evaluate(self, n_episodes: int = 5, model_path: Optional[str] = None) -> Dict:
+    def batch_evaluate(
+        self,
+        n_episodes: int = 5,
+        model_path: Optional[str] = None,
+        save_replay_path: Optional[str] = None,
+    ) -> Dict:
         from lightzero_tpu.entry.train_muzero import create_env
         from lightzero_tpu.entry import train_muzero  # noqa: F401 (registry imports)
         from lightzero_tpu.utils.checkpoint import load_checkpoint
@@ -153,12 +166,32 @@ class Agent:
             ev = HostEvaluator(
                 HostVecEnv(cfg.env.env_id, cfg.env.get("evaluator_env_num", 3)), self.policy
             )
-        return ev.eval(self.state.params, n_episodes=n_episodes)
+        kw = {}
+        if save_replay_path is not None:
+            kw["save_replay_path"] = save_replay_path
+        return ev.eval(self.state.params, n_episodes=n_episodes, **kw)
 
-    def deploy(self, n_episodes: int = 1, model_path: Optional[str] = None) -> Dict:
-        """Run deterministic episodes with the current/loaded model
-        (reference .deploy(), agent/muzero.py:267)."""
-        return self.batch_evaluate(n_episodes=n_episodes, model_path=model_path)
+    def deploy(
+        self,
+        n_episodes: int = 1,
+        model_path: Optional[str] = None,
+        enable_save_replay: bool = False,
+        replay_path: Optional[str] = None,
+    ) -> Dict:
+        """Run deterministic episodes with the current/loaded model; with
+        ``enable_save_replay`` each episode's trajectory is saved as npz
+        under ``replay_path`` (reference .deploy(enable_save_replay),
+        agent/muzero.py:267)."""
+        import os
+
+        save_path = None
+        if enable_save_replay:
+            save_path = replay_path or os.path.join(
+                str(self.cfg.get("exp_name", "data_agent/deploy")), "replays"
+            )
+        return self.batch_evaluate(
+            n_episodes=n_episodes, model_path=model_path, save_replay_path=save_path
+        )
 
 
 class MuZeroAgent(Agent):
@@ -175,3 +208,23 @@ class UniZeroAgent(Agent):
 
 class StochasticMuZeroAgent(Agent):
     algo = "stochastic_muzero"
+
+
+class GumbelMuZeroAgent(Agent):
+    algo = "gumbel_muzero"
+
+
+class AlphaZeroAgent(Agent):
+    algo = "alphazero"
+
+
+class SampledAlphaZeroAgent(Agent):
+    algo = "sampled_alphazero"
+
+
+class SampledMuZeroAgent(Agent):
+    algo = "sampled_muzero"
+
+
+class SampledEfficientZeroAgent(Agent):
+    algo = "sampled_efficientzero"

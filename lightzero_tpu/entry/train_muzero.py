@@ -71,6 +71,44 @@ def create_env(env_cfg: Config):
     return ENV_REGISTRY.build(key, **kwargs)
 
 
+def make_host_vec_env(env_cfg: Config, num_envs: int, seed: int):
+    """Dispatch a host (non-jittable) env family to its eager vec adapter:
+    ALE ids -> AtariVecEnv, MiniGrid-* -> MiniGridVecEnv, jericho ->
+    JerichoVecEnv, dmc2gym -> DMC2GymVecEnv, metadrive -> MetaDriveVecEnv,
+    pooltool/sum_to_three -> SumToThreeVecEnv, anything else -> gymnasium
+    HostVecEnv (box2d/mujoco ids like LunarLander-v2 / Hopper-v4)."""
+    env_id = str(env_cfg.get("env_id", env_cfg.get("type", "")))
+    kwargs = dict(env_cfg.get("env_kwargs", {}))
+    if env_id.startswith("ALE/"):
+        from lightzero_tpu.envs.atari import AtariVecEnv
+
+        return AtariVecEnv(env_id, num_envs, seed=seed, env_kwargs=kwargs or None)
+    if env_id.startswith("MiniGrid-") or env_id == "minigrid":
+        from lightzero_tpu.envs.minigrid_env import MiniGridVecEnv
+
+        mg_id = kwargs.pop("env_id", env_id if env_id != "minigrid" else "MiniGrid-Empty-8x8-v0")
+        return MiniGridVecEnv(mg_id, num_envs, seed=seed, **kwargs)
+    if env_id == "jericho":
+        from lightzero_tpu.envs.jericho_env import JerichoVecEnv
+
+        return JerichoVecEnv(num_envs=num_envs, seed=seed, **kwargs)
+    if env_id == "dmc2gym":
+        from lightzero_tpu.envs.dmc2gym_env import DMC2GymVecEnv
+
+        return DMC2GymVecEnv(num_envs=num_envs, seed=seed, **kwargs)
+    if env_id == "metadrive":
+        from lightzero_tpu.envs.metadrive_env import MetaDriveVecEnv
+
+        return MetaDriveVecEnv(num_envs=num_envs, seed=seed, **kwargs)
+    if env_id in ("pooltool", "sum_to_three"):
+        from lightzero_tpu.envs.pooltool_env import SumToThreeVecEnv
+
+        return SumToThreeVecEnv(num_envs=num_envs, seed=seed, **kwargs)
+    from lightzero_tpu.envs.host_env import HostVecEnv
+
+    return HostVecEnv(env_id, num_envs, seed=seed, env_kwargs=kwargs or None)
+
+
 def train_muzero(
     cfg,
     seed: int = 0,
@@ -104,25 +142,15 @@ def train_muzero(
         collector = RolloutCollector(env, policy, n_collect_envs, rng=c_rng)
         evaluator = Evaluator(env, policy, n_eval_envs, rng=e_rng)
     else:
-        # gymnasium host env path (box2d/mujoco/atari — reference subprocess
-        # env-manager territory)
-        from lightzero_tpu.envs.host_env import HostVecEnv
+        # host env path (box2d/mujoco/atari/minigrid/jericho/dmc/... —
+        # reference subprocess env-manager territory)
         from lightzero_tpu.workers.host_collector import HostCollector, HostEvaluator
 
-        env_id = cfg.env.get("env_id")
-        if str(env_id).startswith("ALE/"):
-            from lightzero_tpu.envs.atari import AtariVecEnv as _VecEnv
-        else:
-            _VecEnv = HostVecEnv
         collector = HostCollector(
-            _VecEnv(env_id, n_collect_envs, seed=seed, env_kwargs=cfg.env.get("env_kwargs")),
-            policy,
-            rng=c_rng,
+            make_host_vec_env(cfg.env, n_collect_envs, seed), policy, rng=c_rng
         )
         evaluator = HostEvaluator(
-            _VecEnv(env_id, n_eval_envs, seed=seed + 777, env_kwargs=cfg.env.get("env_kwargs")),
-            policy,
-            rng=e_rng,
+            make_host_vec_env(cfg.env, n_eval_envs, seed + 777), policy, rng=e_rng
         )
     logger = ExperimentLogger(cfg.exp_name, "train")
     stop_value = cfg.env.get("stop_value", float("inf"))

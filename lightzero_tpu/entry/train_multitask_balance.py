@@ -62,15 +62,24 @@ def train_multitask_balance(
     pcfg = cfg0.policy
     num_tasks = len(cfgs)
 
+    if "task_num" in pcfg:
+        pcfg.task_num = num_tasks
+
     rng = jax.random.PRNGKey(seed)
     policy = policy_cls(pcfg)
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)
+    # multitask policy types bind a static task id per worker so the world
+    # model's task embedding conditions collect/eval/reanalyze
+    is_mt = hasattr(policy, "task_view")
+    task_policies = [policy.task_view(t) if is_mt else policy for t in range(num_tasks)]
 
     def build_workers():
-        nonlocal rng
+        nonlocal rng, task_policies
+        if is_mt:
+            task_policies = [policy.task_view(t) for t in range(num_tasks)]
         colls, evs = [], []
-        for c in cfgs:
+        for ti, c in enumerate(cfgs):
             env = create_env(c.env)
             assert env is not None, "balance entry currently requires pure-JAX envs"
             if c.env.get("pad_obs_to"):
@@ -79,13 +88,17 @@ def train_multitask_balance(
                 env = PadVectorObs(env, int(c.env.pad_obs_to))
             rng, c_rng, e_rng = jax.random.split(rng, 3)
             colls.append(
-                RolloutCollector(env, policy, c.env.get("collector_env_num", 4), rng=c_rng)
+                RolloutCollector(
+                    env, task_policies[ti], c.env.get("collector_env_num", 4), rng=c_rng
+                )
             )
-            evs.append(Evaluator(env, policy, c.env.get("evaluator_env_num", 2), rng=e_rng))
+            evs.append(
+                Evaluator(env, task_policies[ti], c.env.get("evaluator_env_num", 2), rng=e_rng)
+            )
         return colls, evs
 
     collectors, evaluators = build_workers()
-    buffers = [GameBuffer(pcfg, policy) for _ in cfgs]
+    buffers = [GameBuffer(pcfg, task_policies[t]) for t in range(num_tasks)]
     solved_thresholds = [
         float(c.env.get("solved_threshold", c.env.get("stop_value", 1e9))) for c in cfgs
     ]
@@ -172,15 +185,28 @@ def train_multitask_balance(
             {t: task_returns[t] for t in active},
             {t: stop_values[t] for t in active},
         )
+        task_weight_arr = np.asarray(
+            [weights.get(t, 1.0) for t in range(num_tasks)], np.float32
+        )
         for _ in range(upc):
             parts, idxs, order = [], [], []
             for ti in active:
                 batch, idx = buffers[ti].sample(per_task_bs, state.target_params)
-                w = batch.weights * weights.get(ti, 1.0)
-                parts.append(batch._replace(weights=w))
+                if not is_mt:
+                    # plain policies: task weight folded into the IS weights
+                    batch = batch._replace(weights=batch.weights * weights.get(ti, 1.0))
                 idxs.append(idx)
+                parts.append(batch)
                 order.append(ti)
             combined = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+            if is_mt:
+                # per-task aggregation + task weights INSIDE the jitted step
+                # (policy/multitask.py; reference sampled_unizero_multitask
+                # .py:451-453)
+                from lightzero_tpu.policy.multitask import attach_task_fields
+
+                task_id = np.repeat(np.asarray(order, np.int32), per_task_bs)
+                combined = attach_task_fields(combined, task_id, task_weight_arr)
             state, logs, priority = policy.forward_learn(state, combined)
             priority = np.asarray(priority)
             for j, ti in enumerate(order):

@@ -34,6 +34,11 @@ from lightzero_tpu.policy.sampled_efficientzero import SampledEfficientZeroPolic
 from lightzero_tpu.policy.sampled_unizero import SampledUniZeroPolicy  # noqa: F401
 from lightzero_tpu.policy.muzero_rnn_full_obs import MuZeroRNNFullObsPolicy  # noqa: F401
 from lightzero_tpu.policy.muzero_context import MuZeroContextPolicy  # noqa: F401
+from lightzero_tpu.policy.multitask import (  # noqa: F401
+    MuZeroMTPolicy,
+    SampledUniZeroMTPolicy,
+    UniZeroMTPolicy,
+)
 from lightzero_tpu.utils import ENV_REGISTRY, POLICY_REGISTRY
 from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger

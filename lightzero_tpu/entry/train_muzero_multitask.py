@@ -71,10 +71,15 @@ def train_muzero_multitask(
     pcfg = cfg0.policy
     num_tasks = len(cfgs)
 
+    if "task_num" in pcfg:
+        pcfg.task_num = num_tasks
+
     rng = jax.random.PRNGKey(seed)
     policy = policy_cls(pcfg)
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)
+    is_mt = hasattr(policy, "task_view")
+    task_policies = [policy.task_view(t) if is_mt else policy for t in range(num_tasks)]
 
     collectors, evaluators, buffers, stop_values = [], [], [], []
     for ti, c in enumerate(cfgs):
@@ -82,10 +87,12 @@ def train_muzero_multitask(
         assert env is not None, "multitask entry currently requires pure-JAX envs"
         rng, c_rng, e_rng = jax.random.split(rng, 3)
         collectors.append(
-            RolloutCollector(env, policy, c.env.get("collector_env_num", 4), rng=c_rng)
+            RolloutCollector(env, task_policies[ti], c.env.get("collector_env_num", 4), rng=c_rng)
         )
-        evaluators.append(Evaluator(env, policy, c.env.get("evaluator_env_num", 2), rng=e_rng))
-        buffers.append(GameBuffer(pcfg, policy))
+        evaluators.append(
+            Evaluator(env, task_policies[ti], c.env.get("evaluator_env_num", 2), rng=e_rng)
+        )
+        buffers.append(GameBuffer(pcfg, task_policies[ti]))
         stop_values.append(float(c.env.get("stop_value", 1e9)))
 
     logger = ExperimentLogger(cfg0.exp_name, "train")
@@ -124,14 +131,23 @@ def train_muzero_multitask(
         # symlog task weights from distance-to-target (rank0 broadcast in
         # the reference; trivial on one host)
         weights = compute_task_weights(task_returns, {t: v for t, v in enumerate(stop_values)})
+        task_weight_arr = np.asarray(
+            [weights.get(t, 1.0) for t in range(num_tasks)], np.float32
+        )
         for _ in range(upc):
             parts, idxs = [], []
             for ti, b in enumerate(buffers):
                 batch, idx = b.sample(per_task_bs, state.target_params)
-                w = batch.weights * weights.get(ti, 1.0)
-                parts.append(batch._replace(weights=w))
+                if not is_mt:
+                    batch = batch._replace(weights=batch.weights * weights.get(ti, 1.0))
+                parts.append(batch)
                 idxs.append(idx)
             combined = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+            if is_mt:
+                from lightzero_tpu.policy.multitask import attach_task_fields
+
+                task_id = np.repeat(np.arange(num_tasks, dtype=np.int32), per_task_bs)
+                combined = attach_task_fields(combined, task_id, task_weight_arr)
             state, logs, priority = policy.forward_learn(state, combined)
             priority = np.asarray(priority)
             for ti, b in enumerate(buffers):

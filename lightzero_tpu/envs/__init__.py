@@ -10,3 +10,4 @@ from lightzero_tpu.envs import breakout_grid  # registers "breakout_grid"
 from lightzero_tpu.envs.board import go  # registers "go"
 from lightzero_tpu.envs.board import chess  # registers "chess"
 from lightzero_tpu.envs import bsuite_like  # registers "deep_sea", "catch"
+from lightzero_tpu.envs import minatar_like  # registers asterix/freeway/space_invaders/seaquest _grid

@@ -39,9 +39,21 @@ class PendulumEnv(JaxEnv):
     continuous = True
     num_players = 1
 
-    def __init__(self, max_episode_steps: int = 200, discrete_bins: int = 0):
+    def __init__(
+        self,
+        max_episode_steps: int = 200,
+        discrete_bins: int = 0,
+        gravity: float = G,
+        max_torque: float = MAX_TORQUE,
+    ):
+        """``gravity`` / ``max_torque`` parameterize dynamics variants for
+        multitask suites (the ScaleZero setting trains one policy across
+        related control tasks; reference DMC task lists,
+        train_unizero_multitask_balance_segment_ddp.py)."""
         self.max_episode_steps = max_episode_steps
         self.discrete_bins = discrete_bins  # 0 = continuous
+        self.gravity = float(gravity)
+        self.max_torque = float(max_torque)
         if discrete_bins:
             self.action_space_size = discrete_bins
             self.continuous = False
@@ -63,21 +75,23 @@ class PendulumEnv(JaxEnv):
 
     def _torque(self, action: jnp.ndarray) -> jnp.ndarray:
         if self.discrete_bins:
-            # uniform bins over [-2, 2] (reference
+            # uniform bins over [-max_torque, max_torque] (reference
             # action_discretization_env_wrapper.py)
-            return -MAX_TORQUE + 2 * MAX_TORQUE * action.astype(jnp.float32) / (
-                self.discrete_bins - 1
-            )
+            return -self.max_torque + 2 * self.max_torque * action.astype(
+                jnp.float32
+            ) / (self.discrete_bins - 1)
         # continuous input is normalized to [-1, 1] (tanh policy output) and
         # scaled to the torque range (the reference's action-space scaling)
         a = jnp.asarray(action, jnp.float32).reshape(())
-        return jnp.clip(a, -1.0, 1.0) * MAX_TORQUE
+        return jnp.clip(a, -1.0, 1.0) * self.max_torque
 
     def step(self, s: PendulumState, action: jnp.ndarray, rng: jax.Array) -> EnvStep:
         u = self._torque(action)
         th, thdot = s.theta, s.theta_dot
         cost = _angle_normalize(th) ** 2 + 0.1 * thdot**2 + 0.001 * (u**2)
-        newthdot = thdot + (3 * G / (2 * L) * jnp.sin(th) + 3.0 / (M * L**2) * u) * DT
+        newthdot = thdot + (
+            3 * self.gravity / (2 * L) * jnp.sin(th) + 3.0 / (M * L**2) * u
+        ) * DT
         newthdot = jnp.clip(newthdot, -MAX_SPEED, MAX_SPEED)
         newth = th + newthdot * DT
         t = s.t + 1

@@ -262,7 +262,15 @@ class MuZeroPolicy:
         )
 
     # ---------------------------------------------------------------- learn
-    def _loss_fn(self, params, batch: TrainBatch):
+    def _sample_losses(self, params, batch: TrainBatch, task_id=None, train_iter=None):
+        """Per-sample loss vector BEFORE importance weighting/reduction.
+
+        Returns ``(loss_vec (B,), extra_scalar, logs, value_priority)``;
+        ``_loss_fn`` reduces with the IS weights, the multitask policies
+        (policy/multitask.py) reduce per task instead (reference per-task
+        loss lists, lzero/policy/unizero_multitask.py). ``task_id`` /
+        ``train_iter`` are accepted for interface parity — the plain MuZero
+        model has no task conditioning."""
         cfg = self.cfg
         K = self.num_unroll_steps
         h = scalar_transform
@@ -324,7 +332,7 @@ class MuZeroPolicy:
                 + value_loss / jnp.exp(h_v)
                 + reward_loss / jnp.exp(h_r)
             )
-            weighted_total_loss = jnp.mean(batch.weights * loss) + (
+            extra = (
                 jnp.log(jnp.exp(h_p) + 1.0)
                 + jnp.log(jnp.exp(h_v) + 1.0)
                 + jnp.log(jnp.exp(h_r) + 1.0)
@@ -337,11 +345,8 @@ class MuZeroPolicy:
                 + cfg.reward_loss_weight * reward_loss
                 + cfg.policy_entropy_weight * policy_entropy_loss
             )
-            weighted_total_loss = jnp.mean(batch.weights * loss)
-        # total-gradient rescale 1/K (reference muzero.py:584-585)
-        scaled_loss = weighted_total_loss / K
+            extra = jnp.zeros(())
         logs = dict(
-            total_loss=weighted_total_loss,
             policy_loss=jnp.mean(policy_loss),
             value_loss=jnp.mean(value_loss),
             reward_loss=jnp.mean(reward_loss),
@@ -350,7 +355,14 @@ class MuZeroPolicy:
             predicted_value=jnp.mean(pred_value0),
             target_value=jnp.mean(batch.target_value[:, 0]),
         )
-        return scaled_loss, (logs, value_priority)
+        return loss, extra, logs, value_priority
+
+    def _loss_fn(self, params, batch: TrainBatch):
+        loss, extra, logs, value_priority = self._sample_losses(params, batch)
+        weighted_total_loss = jnp.mean(batch.weights * loss) + extra
+        logs["total_loss"] = weighted_total_loss
+        # total-gradient rescale 1/K (reference muzero.py:584-585)
+        return weighted_total_loss / self.num_unroll_steps, (logs, value_priority)
 
     def _forward_learn(self, state: TrainState, batch: TrainBatch):
         (_, (logs, value_priority)), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(

@@ -53,11 +53,12 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         bidx = jnp.arange(B)
         action_vec = emb["sampled_actions"][bidx, slot]
         cache = emb["cache"]
+        tid = self._task_ids(B)
         a_out, cache = self.model.apply(
-            params, cache, action_vec, method=UniZeroModel.infer_action_step
+            params, cache, action_vec, tid, method=UniZeroModel.infer_action_step
         )
         o_out, cache = self.model.apply(
-            params, cache, a_out["obs_pred"], method=UniZeroModel.infer_obs_step
+            params, cache, a_out["obs_pred"], tid, method=UniZeroModel.infer_obs_step
         )
         new_actions, logp = gaussian_tanh_sample(rng, o_out["mu"], o_out["sigma"], self.K)
         return RecurrentOutput(
@@ -73,7 +74,8 @@ class SampledUniZeroPolicy(UniZeroPolicy):
     ):
         obs_e = self.model.apply(params, obs, method=UniZeroModel.encode_obs)
         o_out, cache = self.model.apply(
-            params, collect_state, obs_e, method=UniZeroModel.infer_obs_step
+            params, collect_state, obs_e, self._task_ids(obs.shape[0]),
+            method=UniZeroModel.infer_obs_step,
         )
         pred_value = inverse_scalar_transform(o_out["value_logits"], self.value_support)
         rng, r_rng, s_rng, a_rng = jax.random.split(rng, 4)
@@ -100,7 +102,8 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         action = root_actions[jnp.arange(B), slot]
         # advance the TRUE context with the chosen action token
         _, new_state = self.model.apply(
-            params, cache, action, method=UniZeroModel.infer_action_step
+            params, cache, action, self._task_ids(B),
+            method=UniZeroModel.infer_action_step,
         )
         out = dict(
             action=action,
@@ -114,7 +117,9 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         return out, new_state
 
     # ---------------------------------------------------------------- learn
-    def _loss_fn(self, params, batch, train_iter=None):
+    def _sample_losses(self, params, batch, task_id=None, train_iter=None):
+        """Per-sample loss vector before IS weighting (see MuZeroPolicy.
+        _sample_losses); ``batch`` is a SampledTrainBatch."""
         base = batch.base
         sampled = batch.sampled_actions  # (B, K+1, Ks, D)
         cfg = self.cfg
@@ -123,7 +128,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         tr_cat = phi_transform(self.reward_support, scalar_transform(base.target_reward))
 
         out = self.model.apply(
-            params, base.obs, base.actions, method=UniZeroModel.train_forward
+            params, base.obs, base.actions, task_id, method=UniZeroModel.train_forward
         )
         value_loss = cross_entropy_loss(out["value_logits"], tv_cat).sum(-1)
         reward_loss = cross_entropy_loss(out["reward_logits"], tr_cat).sum(-1)
@@ -153,10 +158,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
             + cfg.obs_loss_weight * obs_loss
             + cfg.policy_entropy_weight * (-entropy)
         )
-        weighted_total_loss = jnp.mean(base.weights * loss)
-        scaled_loss = weighted_total_loss / K
         logs = dict(
-            total_loss=weighted_total_loss,
             policy_loss=jnp.mean(policy_loss),
             value_loss=jnp.mean(value_loss),
             reward_loss=jnp.mean(reward_loss),
@@ -165,4 +167,12 @@ class SampledUniZeroPolicy(UniZeroPolicy):
             predicted_value=jnp.mean(pred_value0),
             target_value=jnp.mean(base.target_value[:, 0]),
         )
-        return scaled_loss, (logs, value_priority)
+        return loss, jnp.zeros(()), logs, value_priority
+
+    def _loss_fn(self, params, batch, train_iter=None):
+        loss, extra, logs, value_priority = self._sample_losses(
+            params, batch, train_iter=train_iter
+        )
+        weighted_total_loss = jnp.mean(batch.base.weights * loss) + extra
+        logs["total_loss"] = weighted_total_loss
+        return weighted_total_loss / self.num_unroll_steps, (logs, value_priority)

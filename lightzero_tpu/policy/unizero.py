@@ -41,6 +41,17 @@ from lightzero_tpu.utils import POLICY_REGISTRY
 @POLICY_REGISTRY.register("unizero")
 class UniZeroPolicy(MuZeroPolicy):
     stateful_collect = True
+    # static per-worker task id (multitask collect/eval/reanalyze condition
+    # the world model's task embedding; policy/multitask.py task_view binds
+    # this per task — reference task_id-kwarg plumbing, unizero_multitask.py)
+    _collect_task_id: Optional[int] = None
+
+    def _task_ids(self, batch_size: int):
+        """(B,) task-id array for model conditioning, or None outside
+        multitask runs."""
+        if self._collect_task_id is None:
+            return None
+        return jnp.full((batch_size,), int(self._collect_task_id), jnp.int32)
 
     @staticmethod
     def default_config() -> Config:
@@ -191,11 +202,12 @@ class UniZeroPolicy(MuZeroPolicy):
     # ------------------------------------------------------------ inference
     def _recurrent_fn(self, params, rng, action, emb) -> RecurrentOutput:
         cache = emb["cache"]
+        tid = self._task_ids(action.shape[0])
         a_out, cache = self.model.apply(
-            params, cache, action, method=UniZeroModel.infer_action_step
+            params, cache, action, tid, method=UniZeroModel.infer_action_step
         )
         o_out, cache = self.model.apply(
-            params, cache, a_out["obs_pred"], method=UniZeroModel.infer_obs_step
+            params, cache, a_out["obs_pred"], tid, method=UniZeroModel.infer_obs_step
         )
         return RecurrentOutput(
             reward=inverse_scalar_transform(a_out["reward_logits"], self.reward_support),
@@ -218,7 +230,8 @@ class UniZeroPolicy(MuZeroPolicy):
     ):
         obs_e = self.model.apply(params, obs, method=UniZeroModel.encode_obs)
         o_out, cache = self.model.apply(
-            params, collect_state, obs_e, method=UniZeroModel.infer_obs_step
+            params, collect_state, obs_e, self._task_ids(obs.shape[0]),
+            method=UniZeroModel.infer_obs_step,
         )
         pred_value = inverse_scalar_transform(o_out["value_logits"], self.value_support)
         root = RootOutput(
@@ -247,7 +260,8 @@ class UniZeroPolicy(MuZeroPolicy):
         # advance the TRUE context with the chosen action token only (the
         # real next obs arrives at the next env step)
         _, new_state = self.model.apply(
-            params, cache, actions, method=UniZeroModel.infer_action_step
+            params, cache, actions, self._task_ids(obs.shape[0]),
+            method=UniZeroModel.infer_action_step,
         )
         out = dict(
             action=actions,
@@ -260,14 +274,17 @@ class UniZeroPolicy(MuZeroPolicy):
         return out, new_state
 
     # ---------------------------------------------------------------- learn
-    def _loss_fn(self, params, batch: TrainBatch, train_iter=None):
+    def _sample_losses(self, params, batch: TrainBatch, task_id=None, train_iter=None):
+        """Per-sample loss vector before IS weighting (see MuZeroPolicy.
+        _sample_losses). ``task_id`` (B,) conditions the world model's task
+        embedding (reference task_emb routing, world_model_multitask.py)."""
         cfg = self.cfg
         K = self.num_unroll_steps
         tv_cat = phi_transform(self.value_support, scalar_transform(batch.target_value))
         tr_cat = phi_transform(self.reward_support, scalar_transform(batch.target_reward))
 
         out = self.model.apply(
-            params, batch.obs, batch.actions, method=UniZeroModel.train_forward
+            params, batch.obs, batch.actions, task_id, method=UniZeroModel.train_forward
         )
         # value/policy at every obs position 0..K
         value_loss = cross_entropy_loss(out["value_logits"], tv_cat).sum(-1)
@@ -327,13 +344,9 @@ class UniZeroPolicy(MuZeroPolicy):
             + cfg.obs_loss_weight * obs_loss
             + entropy_weight * (-entropy)
         )
-        weighted_total_loss = (
-            jnp.mean(batch.weights * loss) + alpha_loss + recon_w * latent_recon_loss
-        )
-        scaled_loss = weighted_total_loss / K
+        extra = alpha_loss + recon_w * latent_recon_loss
         latent_norm_max = jnp.max(jnp.linalg.norm(out["obs_embeddings"], axis=-1))
         logs = dict(
-            total_loss=weighted_total_loss,
             policy_loss=jnp.mean(policy_loss),
             value_loss=jnp.mean(value_loss),
             reward_loss=jnp.mean(reward_loss),
@@ -351,7 +364,15 @@ class UniZeroPolicy(MuZeroPolicy):
             predicted_value=jnp.mean(pred_value0),
             target_value=jnp.mean(batch.target_value[:, 0]),
         )
-        return scaled_loss, (logs, value_priority)
+        return loss, extra, logs, value_priority
+
+    def _loss_fn(self, params, batch: TrainBatch, train_iter=None):
+        loss, extra, logs, value_priority = self._sample_losses(
+            params, batch, train_iter=train_iter
+        )
+        weighted_total_loss = jnp.mean(batch.weights * loss) + extra
+        logs["total_loss"] = weighted_total_loss
+        return weighted_total_loss / self.num_unroll_steps, (logs, value_priority)
 
     def _forward_learn(self, state, batch: TrainBatch):
         """UniZero learn step: gradient accumulation over micro-batches,
@@ -478,7 +499,8 @@ class UniZeroPolicy(MuZeroPolicy):
         cache = self._fresh_cache(B)
         obs_e = self.model.apply(target_params, obs, method=UniZeroModel.encode_obs)
         o_out, _ = self.model.apply(
-            target_params, cache, obs_e, method=UniZeroModel.infer_obs_step
+            target_params, cache, obs_e, self._task_ids(B),
+            method=UniZeroModel.infer_obs_step,
         )
         return inverse_scalar_transform(o_out["value_logits"], self.value_support)
 
@@ -492,14 +514,16 @@ class UniZeroPolicy(MuZeroPolicy):
         no history is supplied."""
         if obs_hist is not None:
             o_out, cache = self.model.apply(
-                target_params, obs_hist, act_hist, hist_len, method=UniZeroModel.prefill
+                target_params, obs_hist, act_hist, hist_len,
+                self._task_ids(obs.shape[0]), method=UniZeroModel.prefill,
             )
         else:
             B = obs.shape[0]
             cache = self._fresh_cache(B)
             obs_e = self.model.apply(target_params, obs, method=UniZeroModel.encode_obs)
             o_out, cache = self.model.apply(
-                target_params, cache, obs_e, method=UniZeroModel.infer_obs_step
+                target_params, cache, obs_e, self._task_ids(B),
+                method=UniZeroModel.infer_obs_step,
             )
         root = RootOutput(
             prior_logits=o_out["policy_logits"],

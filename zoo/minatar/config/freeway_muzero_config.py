@@ -1,0 +1,25 @@
+"""Freeway-grid MuZero+SSL (conv path) — MinAtar-class image env standing
+in for the reference Atari rows (reference zoo/atari/config/
+atari_muzero_config.py; env: lightzero_tpu/envs/minatar_like.py)."""
+from lightzero_tpu.config import Config
+
+main_config = Config(dict(
+    exp_name="data_mz/freeway_grid_muzero_seed0",
+    env=dict(type="freeway_grid", stop_value=20,
+             collector_env_num=8, evaluator_env_num=3),
+    policy=dict(
+        type="muzero",
+        model=dict(observation_shape=(10, 10, 3), action_space_size=3,
+                   model_type="conv", num_channels=32, num_res_blocks=1,
+                   downsample=False, support_scale=50,
+                   self_supervised_learning_loss=True),
+        ssl_loss_weight=2.0,
+        num_simulations=25, batch_size=256, update_per_collect=100,
+        n_episode=8, eval_freq=200, manual_temperature_decay=True,
+        threshold_training_steps_for_final_temperature=int(5e4),
+    ),
+))
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_muzero
+    train_muzero(main_config, seed=0, max_env_step=int(3e5))

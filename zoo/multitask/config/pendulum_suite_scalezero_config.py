@@ -1,0 +1,71 @@
+"""ScaleZero 3-task demo: Sampled-UniZero multitask over a pendulum
+dynamics suite (reference lzero/policy/sampled_unizero_multitask.py +
+train_unizero_multitask_balance_segment_ddp.py).
+
+Three continuous-control tasks sharing ONE task-conditioned transformer
+world model with K sampled tanh-Gaussian actions per search node:
+  task 0: standard Pendulum       (g=10, torque 2.0)
+  task 1: heavy-gravity Pendulum  (g=14, torque 2.0) — needs energy pumping
+  task 2: weak-motor Pendulum     (g=8,  torque 1.2) — underactuated swings
+Per-task losses are aggregated with symlog task weights inside one jitted
+step; CurriculumLoRA freezes the trunk and switches to per-stage adapters
+once half the tasks are solved (balance entry semantics)."""
+from lightzero_tpu.config import Config
+
+_shared_policy = dict(
+    type="sampled_unizero_multitask",
+    model=dict(
+        observation_shape=3,
+        action_space_size=1,  # continuous action dim
+        continuous_action_space=True,
+        embed_dim=64,
+        num_layers=2,
+        num_heads=4,
+        max_tokens=16,
+        support_scale=25,
+        num_tasks=3,
+        lora_r=4,
+        curriculum_stage_num=2,
+    ),
+    task_num=3,
+    num_of_sampled_actions=8,
+    num_simulations=25,
+    batch_size=96,
+    update_per_collect=60,
+    n_episode=3,
+    eval_freq=40,
+    num_unroll_steps=5,
+    td_steps=5,
+    learning_rate=1e-3,
+    stage_solved_frac=0.6,
+    use_adaptive_entropy_weight=False,
+    policy_entropy_weight=5e-3,
+)
+
+task_configs = [
+    Config(dict(
+        exp_name="data_mt/pendulum_suite_scalezero_seed0",
+        env=dict(type="pendulum", stop_value=-250, solved_threshold=-400,
+                 collector_env_num=4, evaluator_env_num=2),
+        policy=dict(_shared_policy),
+    )),
+    Config(dict(
+        exp_name="data_mt/pendulum_suite_scalezero_seed0",
+        env=dict(type="pendulum", stop_value=-350, solved_threshold=-600,
+                 env_kwargs=dict(gravity=14.0),
+                 collector_env_num=4, evaluator_env_num=2),
+        policy=dict(_shared_policy),
+    )),
+    Config(dict(
+        exp_name="data_mt/pendulum_suite_scalezero_seed0",
+        env=dict(type="pendulum", stop_value=-350, solved_threshold=-600,
+                 env_kwargs=dict(gravity=8.0, max_torque=1.2),
+                 collector_env_num=4, evaluator_env_num=2),
+        policy=dict(_shared_policy),
+    )),
+]
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_multitask_balance
+
+    train_multitask_balance(task_configs, seed=0, max_env_step=int(3e5))

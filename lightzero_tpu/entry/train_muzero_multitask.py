@@ -74,6 +74,19 @@ def train_muzero_multitask(
     if "task_num" in pcfg:
         pcfg.task_num = num_tasks
 
+    # multi-host: static task->process partition + cross-host return sync
+    # (reference tasks_per_rank + all_gather_object/broadcast,
+    # train_unizero_multitask_segment_ddp.py:130-154,388-451). One process
+    # == the full task list; the code path is identical.
+    from lightzero_tpu.parallel.distributed import (
+        all_gather_scalars,
+        init_distributed,
+        partition_tasks,
+    )
+
+    init_distributed()
+    local_tasks = list(partition_tasks(num_tasks))
+
     rng = jax.random.PRNGKey(seed)
     policy = policy_cls(pcfg)
     rng, init_rng = jax.random.split(rng)
@@ -81,19 +94,21 @@ def train_muzero_multitask(
     is_mt = hasattr(policy, "task_view")
     task_policies = [policy.task_view(t) if is_mt else policy for t in range(num_tasks)]
 
-    collectors, evaluators, buffers, stop_values = [], [], [], []
-    for ti, c in enumerate(cfgs):
+    collectors, evaluators, buffers, stop_values = {}, {}, {}, {}
+    for ti in local_tasks:
+        c = cfgs[ti]
         env = create_env(c.env)
         assert env is not None, "multitask entry currently requires pure-JAX envs"
         rng, c_rng, e_rng = jax.random.split(rng, 3)
-        collectors.append(
-            RolloutCollector(env, task_policies[ti], c.env.get("collector_env_num", 4), rng=c_rng)
+        collectors[ti] = RolloutCollector(
+            env, task_policies[ti], c.env.get("collector_env_num", 4), rng=c_rng
         )
-        evaluators.append(
-            Evaluator(env, task_policies[ti], c.env.get("evaluator_env_num", 2), rng=e_rng)
+        evaluators[ti] = Evaluator(
+            env, task_policies[ti], c.env.get("evaluator_env_num", 2), rng=e_rng
         )
-        buffers.append(GameBuffer(pcfg, task_policies[ti]))
-        stop_values.append(float(c.env.get("stop_value", 1e9)))
+        buffers[ti] = GameBuffer(pcfg, task_policies[ti])
+    for ti, c in enumerate(cfgs):
+        stop_values[ti] = float(c.env.get("stop_value", 1e9))
 
     logger = ExperimentLogger(cfg0.exp_name, "train")
     batch_size = int(pcfg.batch_size)
@@ -106,7 +121,7 @@ def train_muzero_multitask(
     task_returns: Dict[int, float] = {t: 0.0 for t in range(num_tasks)}
 
     def total_env_steps():
-        return sum(c.total_env_steps for c in collectors)
+        return sum(c.total_env_steps for c in collectors.values())
 
     while total_env_steps() < max_env_step and train_iter < max_train_iter:
         temperature = visit_count_temperature(
@@ -117,27 +132,41 @@ def train_muzero_multitask(
         )
         if train_iter - last_eval >= eval_freq:
             last_eval = train_iter
-            for ti, ev in enumerate(evaluators):
+            for ti, ev in evaluators.items():
                 res = ev.eval(state.params)
                 task_returns[ti] = res["mean_return"]
                 logger.info(f"iter={train_iter} task{ti} EVAL return={res['mean_return']:.1f}")
-        for ti, coll in enumerate(collectors):
+            # every process sees every task's latest return (reference
+            # all_gather_object of task_returns, :388-418). The gathered key
+            # set must be identical across processes: every process reports
+            # ALL tasks, NaN for tasks it does not own.
+            gathered = all_gather_scalars({
+                f"task{t}": (task_returns[t] if t in local_tasks else float("nan"))
+                for t in range(num_tasks)
+            })
+            for t in range(num_tasks):
+                vals = gathered[f"task{t}"]
+                if t not in local_tasks and np.any(np.isfinite(vals)):
+                    task_returns[t] = float(np.nanmax(vals))
+        for ti, coll in collectors.items():
             episodes, priorities, _ = coll.collect(
                 state.params, temperature=temperature, num_episodes=n_episode
             )
             buffers[ti].push_episodes(episodes, priorities)
-        if any(b.num_transitions < per_task_bs for b in buffers):
+        if any(b.num_transitions < per_task_bs for b in buffers.values()):
             continue
-        # symlog task weights from distance-to-target (rank0 broadcast in
-        # the reference; trivial on one host)
-        weights = compute_task_weights(task_returns, {t: v for t, v in enumerate(stop_values)})
+        # symlog task weights from distance-to-target — deterministic given
+        # the synced returns, so every process computes identical weights
+        # (the reference's rank0 compute + broadcast, :440-451)
+        weights = compute_task_weights(task_returns, {t: v for t, v in stop_values.items()})
         task_weight_arr = np.asarray(
             [weights.get(t, 1.0) for t in range(num_tasks)], np.float32
         )
+        order = sorted(buffers)
         for _ in range(upc):
             parts, idxs = [], []
-            for ti, b in enumerate(buffers):
-                batch, idx = b.sample(per_task_bs, state.target_params)
+            for ti in order:
+                batch, idx = buffers[ti].sample(per_task_bs, state.target_params)
                 if not is_mt:
                     batch = batch._replace(weights=batch.weights * weights.get(ti, 1.0))
                 parts.append(batch)
@@ -146,12 +175,14 @@ def train_muzero_multitask(
             if is_mt:
                 from lightzero_tpu.policy.multitask import attach_task_fields
 
-                task_id = np.repeat(np.arange(num_tasks, dtype=np.int32), per_task_bs)
+                task_id = np.repeat(np.asarray(order, np.int32), per_task_bs)
                 combined = attach_task_fields(combined, task_id, task_weight_arr)
             state, logs, priority = policy.forward_learn(state, combined)
             priority = np.asarray(priority)
-            for ti, b in enumerate(buffers):
-                b.update_priority(idxs[ti], priority[ti * per_task_bs : (ti + 1) * per_task_bs])
+            for j, ti in enumerate(order):
+                buffers[ti].update_priority(
+                    idxs[j], priority[j * per_task_bs : (j + 1) * per_task_bs]
+                )
             train_iter += 1
         logger.info(
             f"iter={train_iter} envsteps={total_env_steps()} "

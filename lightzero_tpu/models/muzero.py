@@ -67,6 +67,12 @@ class MuZeroModel(nn.Module):
     # HarmonyDream learnable loss weights (reference muzero.py:325-331):
     # loss_i is divided by exp(h_i) with a log(exp(h_i)+1) regularizer
     harmony_balance: bool = False
+    # multitask twin (reference muzero_model_multitask.py: shared trunk,
+    # task-routed heads). TPU-native redesign: a learned task embedding is
+    # added IN-BAND to the root latent, so one static-shape network serves
+    # every task and the dynamics carry the conditioning forward — no
+    # per-task head branches to re-trace.
+    num_tasks: int = 0
 
     def setup(self):
         if self.harmony_balance:
@@ -133,6 +139,11 @@ class MuZeroModel(nn.Module):
                 pred_hid=self.pred_hid,
                 pred_out=self.pred_out,
             )
+        if self.num_tasks > 0:
+            dim = (
+                self.latent_state_dim if self.model_type == "mlp" else self.num_channels
+            )
+            self._task_embed = nn.Embed(self.num_tasks, dim, name="task_embed")
 
     # --- action encodings -------------------------------------------------
     def _encode_action_mlp(self, action: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -150,8 +161,18 @@ class MuZeroModel(nn.Module):
         return jnp.broadcast_to(plane, (B, h, w, 1))
 
     # --- core methods ------------------------------------------------------
-    def representation(self, obs: jnp.ndarray) -> jnp.ndarray:
-        return self._repr(obs)
+    def _condition_on_task(self, latent: jnp.ndarray, task_id) -> jnp.ndarray:
+        """Add the task embedding to the latent (mlp: feature add; conv:
+        per-channel bias broadcast over space)."""
+        if self.num_tasks == 0 or task_id is None:
+            return latent
+        e = self._task_embed(jnp.asarray(task_id, jnp.int32))
+        if latent.ndim == 4:  # (B, h, w, c)
+            e = e[:, None, None, :]
+        return latent + e
+
+    def representation(self, obs: jnp.ndarray, task_id=None) -> jnp.ndarray:
+        return self._condition_on_task(self._repr(obs), task_id)
 
     def dynamics(self, latent: jnp.ndarray, action: jnp.ndarray):
         if self.model_type == "mlp":
@@ -163,9 +184,12 @@ class MuZeroModel(nn.Module):
     def prediction(self, latent: jnp.ndarray):
         return self._pred(latent)
 
-    def initial_inference(self, obs: jnp.ndarray) -> NetworkOutput:
-        """reference muzero_model.py:210 — reward is a zero pad at the root."""
-        latent = self._repr(obs)
+    def initial_inference(self, obs: jnp.ndarray, task_id=None) -> NetworkOutput:
+        """reference muzero_model.py:210 — reward is a zero pad at the root.
+        ``task_id`` (B,) conditions the root latent in multitask runs
+        (muzero_model_multitask.py role); the dynamics net carries the
+        conditioning through the unroll in-band."""
+        latent = self.representation(obs, task_id)
         value_logits, policy_logits = self._pred(latent)
         return NetworkOutput(
             value_logits=value_logits,
@@ -191,7 +215,10 @@ class MuZeroModel(nn.Module):
 
     def __call__(self, obs: jnp.ndarray, action: jnp.ndarray):
         """Init-path: touches every submodule so flax creates all params."""
-        out = self.initial_inference(obs)
+        tid = (
+            jnp.zeros((obs.shape[0],), jnp.int32) if self.num_tasks > 0 else None
+        )
+        out = self.initial_inference(obs, tid)
         rec = self.recurrent_inference(out.latent_state, action)
         if self.self_supervised_learning_loss:
             self._proj(rec.latent_state, True)
@@ -218,6 +245,7 @@ class MuZeroModel(nn.Module):
             num_res_blocks=model_cfg.get("num_res_blocks", 1),
             downsample=model_cfg.get("downsample", True),
             harmony_balance=model_cfg.get("harmony_balance", False),
+            num_tasks=int(model_cfg.get("num_tasks", 0)),
         )
         for k in (
             "value_support_size",

@@ -236,20 +236,22 @@ class MultitaskMixin:
 
 @POLICY_REGISTRY.register("muzero_multitask")
 class MuZeroMTPolicy(MultitaskMixin, MuZeroPolicy):
-    """Reference lzero/policy/muzero_multitask.py: shared MuZero trunk,
-    per-task loss aggregation. The MLP/conv MuZero model carries no task
-    embedding (matching the reference's shared-trunk setting); task_id
-    drives only the loss aggregation."""
-
-    # MuZeroPolicy has no _collect_task_id plumbing; the attribute is
-    # harmless here (no task conditioning in the model)
-    _collect_task_id: Optional[int] = None
+    """Reference lzero/policy/muzero_multitask.py + muzero_model_multitask
+    .py: shared MuZero trunk with a task embedding added in-band to the
+    root latent (models/muzero.py num_tasks), per-task loss aggregation."""
 
     @staticmethod
     def default_config() -> Config:
-        return MultitaskMixin._mt_default_config(
+        cfg = MultitaskMixin._mt_default_config(
             MuZeroPolicy.default_config(), "muzero_multitask"
         )
+        cfg.model.num_tasks = 2  # task-embedding table size; >= task_num
+        return cfg
+
+    def __init__(self, cfg: Config, model=None):
+        if int(cfg.model.get("num_tasks", 0)) < int(cfg.get("task_num", 2)):
+            cfg.model.num_tasks = int(cfg.get("task_num", 2))
+        super().__init__(cfg, model=model)
 
 
 @POLICY_REGISTRY.register("unizero_multitask")

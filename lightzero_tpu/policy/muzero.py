@@ -83,6 +83,18 @@ class MuZeroPolicy:
     """Holds the model + jitted pure functions. All state lives in
     ``TrainState`` pytrees owned by the caller."""
 
+    # static per-worker task id (multitask collect/eval/reanalyze condition
+    # the model's task embedding; policy/multitask.py task_view binds this
+    # per task — reference task_id-kwarg plumbing, unizero_multitask.py)
+    _collect_task_id: Optional[int] = None
+
+    def _task_ids(self, batch_size: int):
+        """(B,) task-id array for model conditioning, or None outside
+        multitask runs."""
+        if self._collect_task_id is None:
+            return None
+        return jnp.full((batch_size,), int(self._collect_task_id), jnp.int32)
+
     @staticmethod
     def default_config() -> Config:
         """Key hyperparameters, reference defaults (muzero.py:37-237)."""
@@ -239,8 +251,12 @@ class MuZeroPolicy:
         )
 
     # ------------------------------------------------------------ inference
-    def _initial(self, params, obs):
-        return self.model.apply(params, obs, method=MuZeroModel.initial_inference)
+    def _initial(self, params, obs, task_id=None):
+        if task_id is None:
+            task_id = self._task_ids(obs.shape[0])
+        return self.model.apply(
+            params, obs, task_id, method=MuZeroModel.initial_inference
+        )
 
     def _bootstrap_value_fn(self, target_params, obs):
         """Fresh target-net root value for buffer bootstrap targets."""
@@ -268,16 +284,16 @@ class MuZeroPolicy:
         Returns ``(loss_vec (B,), extra_scalar, logs, value_priority)``;
         ``_loss_fn`` reduces with the IS weights, the multitask policies
         (policy/multitask.py) reduce per task instead (reference per-task
-        loss lists, lzero/policy/unizero_multitask.py). ``task_id`` /
-        ``train_iter`` are accepted for interface parity — the plain MuZero
-        model has no task conditioning."""
+        loss lists, lzero/policy/unizero_multitask.py). ``task_id`` (B,)
+        conditions the root latent when the model has a task embedding
+        (num_tasks > 0, the muzero_model_multitask role)."""
         cfg = self.cfg
         K = self.num_unroll_steps
         h = scalar_transform
         tv_cat = phi_transform(self.value_support, h(batch.target_value))  # (B,K+1,S)
         tr_cat = phi_transform(self.reward_support, h(batch.target_reward))  # (B,K,S)
 
-        out0 = self._initial(params, batch.obs[:, 0])
+        out0 = self._initial(params, batch.obs[:, 0], task_id)
         value_logits, policy_logits, latent = (
             out0.value_logits,
             out0.policy_logits,
@@ -302,7 +318,8 @@ class MuZeroPolicy:
             latent = rec.latent_state
             if ssl:
                 repr_k = self.model.apply(
-                    params, batch.obs[:, k + 1], method=MuZeroModel.representation
+                    params, batch.obs[:, k + 1], task_id,
+                    method=MuZeroModel.representation,
                 )
                 proj_dyn = self.model.apply(params, latent, True, method=MuZeroModel.project)
                 proj_obs = self.model.apply(

@@ -41,17 +41,6 @@ from lightzero_tpu.utils import POLICY_REGISTRY
 @POLICY_REGISTRY.register("unizero")
 class UniZeroPolicy(MuZeroPolicy):
     stateful_collect = True
-    # static per-worker task id (multitask collect/eval/reanalyze condition
-    # the world model's task embedding; policy/multitask.py task_view binds
-    # this per task — reference task_id-kwarg plumbing, unizero_multitask.py)
-    _collect_task_id: Optional[int] = None
-
-    def _task_ids(self, batch_size: int):
-        """(B,) task-id array for model conditioning, or None outside
-        multitask runs."""
-        if self._collect_task_id is None:
-            return None
-        return jnp.full((batch_size,), int(self._collect_task_id), jnp.int32)
 
     @staticmethod
     def default_config() -> Config:

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.unittest, pytest.mark.envtest]
+
 from lightzero_tpu.envs.minatar_like import (
     AsterixGridEnv,
     FreewayGridEnv,

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.unittest, pytest.mark.slow]  # compile-heavy: not in the fast tier
+
 from lightzero_tpu.policy.multitask import (
     MTTrainBatch,
     MuZeroMTPolicy,
@@ -147,6 +149,21 @@ def test_mt_cagrad_forward_learn_runs():
     np.testing.assert_allclose(
         float(logs["task0_cagrad_w"]) + float(logs["task1_cagrad_w"]), 1.0, rtol=1e-4
     )
+
+
+def test_muzero_mt_task_embedding_changes_outputs():
+    """muzero_model_multitask role: the task embedding conditions the root
+    latent, so the same obs under different task ids predicts differently."""
+    cfg = _mz_cfg(task_num=3)
+    policy = MuZeroMTPolicy(cfg)
+    assert policy.model.num_tasks == 3
+    state = policy.init_train_state(jax.random.PRNGKey(0))
+    obs = jnp.ones((4, 4))
+    o0 = policy._initial(state.params, obs, jnp.zeros((4,), jnp.int32))
+    o2 = policy._initial(state.params, obs, jnp.full((4,), 2, jnp.int32))
+    # heads are zero-init (last_linear_layer_init_zero), so compare the
+    # conditioned latents, not the (initially all-zero) logits
+    assert not np.allclose(np.asarray(o0.latent_state), np.asarray(o2.latent_state))
 
 
 def _uz_cfg(cls, task_num=3):

@@ -8,6 +8,7 @@ until max_env_step or stop_value reached.
 """
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import List, Optional
@@ -166,6 +167,26 @@ def train_muzero(
     last_eval_iter = -eval_freq - 1
 
     train_iter = 0
+    # crashed-run auto-resume (SURVEY §5.3): if a resume sidecar exists in
+    # this exp dir and no explicit model_path was given, restore the last
+    # periodic checkpoint AND the iteration/env-step counters so a rerun of
+    # the same config continues instead of restarting. The replay buffer is
+    # rebuilt from fresh self-play (params are strong, so this doubles as a
+    # full-buffer refresh).
+    if not model_path and pcfg.get("auto_resume", False):
+        meta_path = os.path.join(cfg.exp_name, "ckpt", "resume_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            ckpt = os.path.join(cfg.exp_name, "ckpt", str(meta["last_ckpt"]))
+            if os.path.isdir(ckpt):
+                state = load_checkpoint(ckpt, target=state)
+                train_iter = int(meta["train_iter"])
+                collector.total_env_steps = int(meta["env_steps"])
+                logger.info(
+                    f"auto_resume: restored {meta['last_ckpt']} "
+                    f"(iter={train_iter} envstep={collector.total_env_steps})"
+                )
     logger.info(
         f"train_muzero: exp={cfg.exp_name} max_env_step={max_env_step} "
         f"sims={pcfg.num_simulations} batch={batch_size}"
@@ -292,7 +313,11 @@ def train_muzero(
             f"sps={cstats['steps_per_sec']:.0f}"
         )
         if train_iter % int(pcfg.get("save_ckpt_freq", 10_000)) < upc:
-            save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", f"iteration_{train_iter}"))
+            name = f"iteration_{train_iter}"
+            save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", name))
+            with open(os.path.join(cfg.exp_name, "ckpt", "resume_meta.json"), "w") as f:
+                json.dump(dict(last_ckpt=name, train_iter=train_iter,
+                               env_steps=int(collector.total_env_steps)), f)
 
     # post-training loss-landscape analysis (reference
     # train_unizero_with_loss_landscape's final phase)

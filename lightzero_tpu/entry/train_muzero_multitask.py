@@ -34,6 +34,7 @@ from lightzero_tpu.entry.train_muzero import create_env
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.policy.muzero import TrainBatch
 from lightzero_tpu.utils import POLICY_REGISTRY
+from lightzero_tpu.utils.benchmark_scores import normalized_stats
 from lightzero_tpu.utils.checkpoint import save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
@@ -148,6 +149,19 @@ def train_muzero_multitask(
                 vals = gathered[f"task{t}"]
                 if t not in local_tasks and np.any(np.isfinite(vals)):
                     task_returns[t] = float(np.nanmax(vals))
+            # human-normalized mean/median over the suite when task names
+            # resolve to a known benchmark table (reference UniZero-MT
+            # scaffolding, train_unizero_multitask_segment_ddp.py:77-100)
+            hn_mean, hn_median = normalized_stats({
+                str(cfgs[t].env.get("task_name", cfgs[t].env.get("type", t))):
+                    task_returns.get(t)
+                for t in range(num_tasks)
+            }, benchmark=str(cfg0.policy.get("benchmark_name", "atari")))
+            if hn_mean is not None:
+                logger.info(
+                    f"iter={train_iter} human_norm mean={hn_mean:.3f} "
+                    f"median={hn_median:.3f}"
+                )
         for ti, coll in collectors.items():
             episodes, priorities, _ = coll.collect(
                 state.params, temperature=temperature, num_episodes=n_episode

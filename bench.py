@@ -27,13 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 T_START = time.perf_counter()
 T_HARD = float(os.environ.get("LZT_BENCH_DEADLINE_S", "230"))  # force-emit by then
 
-import jax
-import jax.numpy as jnp
-
-from lightzero_tpu.utils.jax_setup import setup_jax
-
-setup_jax()
-
 _BEST = {"result": None}
 _EMITTED = threading.Event()
 
@@ -59,6 +52,20 @@ def _watchdog():
             _emit_and_exit()
             os._exit(0)
         time.sleep(1.0)
+
+
+# The watchdog must be armed BEFORE jax backend init: a dead device tunnel
+# can hang jax.devices()/the first compile indefinitely, and the driver
+# still needs its one JSON line (round-3 lesson: the axon relay died
+# mid-round and even trivial device ops blocked forever).
+threading.Thread(target=_watchdog, daemon=True).start()
+
+import jax
+import jax.numpy as jnp
+
+from lightzero_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
 
 
 def elapsed():
@@ -115,8 +122,6 @@ def bench_search(policy, params, batch_size, num_simulations=50, num_actions=4, 
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
-
     baseline = None
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"

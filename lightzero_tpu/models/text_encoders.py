@@ -25,6 +25,36 @@ from typing import List, Optional
 import numpy as np
 
 
+class _HashTokenizer:
+    """Offline stand-in for an HF tokenizer: whitespace-split + stable hash
+    into a fixed vocab. Lets the encoder stack run end-to-end in images
+    with no tokenizer files (zero egress)."""
+
+    def __init__(self, vocab_size: int, max_length: int):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def __call__(self, texts: List[str], return_tensors: str = "pt",
+                 padding: bool = True, truncation: bool = True,
+                 max_length: Optional[int] = None):
+        import torch
+
+        max_length = max_length or self.max_length
+        rows = []
+        for t in texts:
+            # ids 0/1 reserved for [PAD]/[CLS]
+            ids = [1] + [2 + (hash(w) % (self.vocab_size - 2))
+                         for w in t.lower().split()][: max_length - 1]
+            rows.append(ids)
+        T = max(len(r) for r in rows)
+        input_ids = torch.zeros((len(rows), T), dtype=torch.long)
+        mask = torch.zeros((len(rows), T), dtype=torch.long)
+        for i, r in enumerate(rows):
+            input_ids[i, : len(r)] = torch.tensor(r)
+            mask[i, : len(r)] = 1
+        return dict(input_ids=input_ids, attention_mask=mask)
+
+
 class HFLanguageEncoder:
     """Frozen HF encoder → (B, hidden) numpy embeddings (common.py:478)."""
 
@@ -40,6 +70,31 @@ class HFLanguageEncoder:
         self.max_length = max_length
         self.pooling = pooling
         self.hidden_size = int(self.model.config.hidden_size)
+
+    @classmethod
+    def tiny_random(cls, hidden_size: int = 32, vocab_size: int = 512,
+                    max_length: int = 64, pooling: str = "cls") -> "HFLanguageEncoder":
+        """Random-weight BERT built from a config (NO downloaded weights or
+        tokenizer files): exercises the full embed→pool→project path
+        offline. For real runs, place HF weights locally and use
+        __init__."""
+        import torch
+        from transformers import BertConfig, BertModel
+
+        self = cls.__new__(cls)
+        self._torch = torch
+        self.model = BertModel(BertConfig(
+            vocab_size=vocab_size, hidden_size=hidden_size,
+            num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=4 * hidden_size,
+            max_position_embeddings=max_length,
+        ))
+        self.model.eval()
+        self.tokenizer = _HashTokenizer(vocab_size, max_length)
+        self.max_length = max_length
+        self.pooling = pooling
+        self.hidden_size = hidden_size
+        return self
 
     @staticmethod
     def available(model_name: str = "bert-base-uncased") -> bool:

@@ -143,3 +143,36 @@ def train_alphazero(
         train_iter=train_iter,
         best_return=evaluator.best_return,
     )
+
+
+def eval_alphazero(cfg, seed: int = 0, model_path: Optional[str] = None,
+                   n_episodes: int = 5):
+    """Load an AlphaZero-family checkpoint and evaluate vs the env's rule
+    bot (reference lzero/entry/eval_alphazero.py)."""
+    if isinstance(cfg, (list, tuple)):
+        cfg = cfg[0]
+    from lightzero_tpu.utils import POLICY_REGISTRY
+
+    policy_type = Config(cfg).get("policy", {}).get("type", "alphazero")
+    policy_cls = POLICY_REGISTRY.get(policy_type)
+    cfg = compile_config(cfg, policy_cls.default_config(), seed, save_cfg=False)
+
+    import inspect
+
+    env_key = cfg.env.get("type", "tictactoe")
+    _sig = inspect.signature(ENV_REGISTRY.get(env_key).__init__)
+    env_kwargs = {k: v for k, v in dict(cfg.env).items()
+                  if k in _sig.parameters and k not in ("self", "battle_mode")}
+    env_kwargs.update(dict(cfg.env.get("env_kwargs", {})))
+    eval_env = ENV_REGISTRY.build(env_key, battle_mode="play_with_bot_mode", **env_kwargs)
+
+    policy = policy_cls(cfg.policy, eval_env)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng, e_rng = jax.random.split(rng, 3)
+    state = policy.init_train_state(init_rng)
+    if model_path:
+        state = load_checkpoint(model_path, target=state)
+    evaluator = AlphaZeroBotEvaluator(
+        eval_env, policy, cfg.env.get("evaluator_env_num", 4), rng=e_rng
+    )
+    return evaluator.eval(state.params, n_episodes)

@@ -138,6 +138,9 @@ def main():
     cfg.model.latent_state_dim = 128
     cfg.model.support_scale = 300
     cfg.num_simulations = 50
+    # A/B hook for the pallas fused-traverse kernel (exact-parity tested);
+    # LZT_PALLAS=1 measures the kernel path vs the default XLA path
+    cfg.use_pallas_traverse = os.environ.get("LZT_PALLAS") == "1"
     policy = MuZeroPolicy(cfg)
     params = policy.model.init_params(jax.random.PRNGKey(0), batch_size=2)
 

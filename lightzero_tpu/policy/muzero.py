@@ -186,6 +186,7 @@ class MuZeroPolicy:
             root_dirichlet_alpha=float(cfg.root_dirichlet_alpha),
             root_noise_weight=float(cfg.root_noise_weight),
             players=self.players,
+            use_pallas_traverse=bool(cfg.get("use_pallas_traverse", False)),
         )
         self.optimizer = self._make_optimizer()
         # jitted entry points

@@ -263,6 +263,75 @@ def _pack_traverse_tables(tree: Tree) -> jnp.ndarray:
     )
 
 
+def _traverse_pallas(cfg, tree, packed, noise_u, to_play, rng):
+    """Fused-kernel traverse (search/pallas_traverse.py) for the
+    players==1 / non-stochastic / non-reuse case; output-compatible with
+    `_traverse` (exact parity asserted by tests/test_pallas_traverse.py)."""
+    from lightzero_tpu.search.pallas_traverse import pallas_traverse
+
+    B, N, A = tree.num_trees, tree.num_nodes, tree.num_actions
+    max_depth = N + 1
+    dtype = tree.value_sum.dtype
+    root_stats = jnp.stack(
+        [
+            tree.reward[:, 0].astype(jnp.float32),
+            tree.value_sum[:, 0].astype(jnp.float32),
+            tree.visit_count[:, 0].astype(jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+        ],
+        axis=1,
+    )
+    scal, path, paction, preward, pvsum, pvisit = pallas_traverse(
+        packed, tree.vmin, tree.vmax, root_stats, noise_u,
+        A=A, N=N, max_depth=max_depth,
+        discount=float(cfg.discount),
+        pb_c_base=float(cfg.pb_c_base),
+        pb_c_init=float(cfg.pb_c_init),
+        value_delta_max=float(cfg.value_delta_max),
+        tie_break_first=(cfg.tie_break == "first"),
+        tie_break_epsilon=float(cfg.tie_break_epsilon),
+        interpret=(jax.default_backend() == "cpu"),
+    )
+    node = jnp.round(scal[:, 0]).astype(jnp.int32)
+    parent = jnp.round(scal[:, 1]).astype(jnp.int32)
+    last_action = jnp.round(scal[:, 2]).astype(jnp.int32)
+    depth = jnp.round(scal[:, 3]).astype(jnp.int32)
+    leaf_term = scal[:, 4] > 0.5
+    path_i = jnp.round(path).astype(jnp.int32)
+    # virtual_to_play: -1 stays -1; players 1/2 flip once per body iteration
+    # (= depth+1 iterations until done), matching the XLA loop
+    tp = to_play.astype(jnp.int32)
+    flips = depth + 1
+    flipped = jnp.where(flips % 2 == 1, jnp.where(tp == 1, 2, 1), tp)
+    vtp = jnp.where(tp == -1, -jnp.ones_like(tp), flipped)
+    pos = jnp.arange(max_depth)[None, :]
+    tp_c = jnp.where(pos % 2 == 1, jnp.where(tp[:, None] == 1, 2, 1), tp[:, None])
+    path_to_play = jnp.where(tp[:, None] == -1, -jnp.ones_like(tp_c), tp_c)
+    st = _TraverseState(
+        node=node,
+        parent_q=jnp.zeros((B,), dtype),
+        is_root=jnp.zeros((B,), bool),
+        done=jnp.ones((B,), bool),
+        depth=depth,
+        path=path_i,
+        parent=parent,
+        last_action=last_action,
+        virtual_to_play=vtp,
+        leaf_is_terminal_node=leaf_term,
+        rng=rng,
+        path_action=jnp.round(paction).astype(jnp.int32),
+        path_reward=preward.astype(dtype),
+        path_vsum=pvsum.astype(dtype),
+        path_visit=pvisit.astype(dtype),
+        path_to_play=path_to_play,
+        reuse_hit=jnp.zeros((B,), bool),
+    )
+    parent_out = jnp.where(
+        leaf_term, path_i[jnp.arange(B), jnp.maximum(depth - 1, 0)], parent
+    )
+    return st, parent_out
+
+
 def _traverse(
     cfg: SearchConfig,
     tree: Tree,
@@ -299,6 +368,14 @@ def _traverse(
     else:
         rng, u_rng = jax.random.split(rng)
         noise_u = jax.random.uniform(u_rng, (max_depth, B, A), dtype)
+
+    if (
+        cfg.use_pallas_traverse
+        and cfg.players == 1
+        and not cfg.stochastic
+        and true_action is None
+    ):
+        return _traverse_pallas(cfg, tree, packed, noise_u, to_play, rng)
     if cfg.stochastic:
         rng, g_rng = jax.random.split(rng)
         # categorical via the Gumbel-max trick so chance sampling needs no

@@ -42,6 +42,12 @@ class SearchConfig:
     # instead of per-lane dynamic gathers — 13% faster on TPU at B=1024;
     # 'dynamic': plain dynamic-index gathers. Golden-tested identical.
     gather_mode: str = "onehot"
+    # Pallas fused-traverse kernel (search/pallas_traverse.py): the whole
+    # descent in ONE kernel with the packed table VMEM-resident. Applies
+    # only to players==1, non-stochastic, non-reuse searches; other
+    # configurations silently use the XLA path. Default off pending an
+    # on-chip A/B measurement (LZT_PALLAS=1 in bench.py).
+    use_pallas_traverse: bool = False
 
 
 class RootOutput(NamedTuple):

@@ -150,10 +150,13 @@ class UniZeroModel(nn.Module):
         return self._act_embed(action)
 
     def policy_params(self, h):
-        """Continuous policy head: (mu, sigma) with bounded mean and fixed-floor
-        sigma (same conventions as the sampled models)."""
+        """Continuous policy head: (mu, sigma) with bounded mean, sigma in
+        [0.1, 2.0] so the zero-init head starts at sigma ~ 1.05 — matching
+        the reference's exp(log_sigma) head (sigma = 1 at zero-init) and the
+        sampled_muzero fix: a 1.0-capped sigmoid (init 0.55) reproduces the
+        one-sided tanh-saturation lock-in root-caused in round 2."""
         mu = 1.5 * jnp.tanh(self._mu_head(h))
-        sigma = 0.1 + 0.9 * jax.nn.sigmoid(self._sigma_head(h))
+        sigma = 0.1 + 1.9 * jax.nn.sigmoid(self._sigma_head(h))
         return mu, sigma
 
     # ------------------------------------------------------------ tokenizer

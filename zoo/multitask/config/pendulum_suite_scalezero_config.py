@@ -22,7 +22,10 @@ _shared_policy = dict(
         num_layers=2,
         num_heads=4,
         max_tokens=16,
-        support_scale=25,
+        # pendulum n-step value targets reach h(-2800) ~ -54: scale 25 CLIPS
+        # them (kills value learning — this exact failure was observed on the
+        # first suite run; docs/tutorial.md support_scale warning)
+        support_scale=100,
         num_tasks=3,
         lora_r=4,
         curriculum_stage_num=2,
@@ -36,7 +39,7 @@ _shared_policy = dict(
     eval_freq=40,
     num_unroll_steps=5,
     td_steps=5,
-    learning_rate=1e-3,
+    learning_rate=1e-4,  # UniZero-family AdamW convention
     stage_solved_frac=0.6,
     use_adaptive_entropy_weight=False,
     policy_entropy_weight=5e-3,

@@ -31,9 +31,12 @@ _shared_policy = dict(
         curriculum_stage_num=2,
     ),
     task_num=3,
-    num_of_sampled_actions=8,
-    num_simulations=25,
-    batch_size=96,
+    # full search scale: a sims-12/K-6 shrink left BOTH sampled_unizero and
+    # the known-good sampled_muzero flat on pendulum (CPU isolation runs) —
+    # swing-up needs the reference-scale sampled search
+    num_of_sampled_actions=16,
+    num_simulations=50,
+    batch_size=192,
     update_per_collect=60,
     n_episode=3,
     eval_freq=40,

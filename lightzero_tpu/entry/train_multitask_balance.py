@@ -38,6 +38,7 @@ from lightzero_tpu.buffers import GameBuffer
 from lightzero_tpu.config import Config, compile_config
 from lightzero_tpu.entry.train_muzero import create_env
 from lightzero_tpu.entry.train_muzero_multitask import compute_task_weights
+from lightzero_tpu.utils.benchmark_scores import normalized_stats
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.utils import POLICY_REGISTRY
 from lightzero_tpu.utils.checkpoint import save_checkpoint
@@ -160,6 +161,17 @@ def train_multitask_balance(
             logger.info(
                 "EVAL " + " ".join(f"task{ti}={task_returns[ti]:.1f}" for ti in range(num_tasks))
             )
+            # human-normalized mean/median when task names resolve to a
+            # benchmark table (reference UniZero-MT scaffolding)
+            hn_mean, hn_median = normalized_stats({
+                str(cfgs[ti].env.get("task_name", cfgs[ti].env.get("type", ti))):
+                    (None if task_returns[ti] <= -1e8 else task_returns[ti])
+                for ti in range(num_tasks)
+            }, benchmark=str(cfg0.policy.get("benchmark_name", "atari")))
+            if hn_mean is not None:
+                logger.info(
+                    f"human_norm mean={hn_mean:.3f} median={hn_median:.3f}"
+                )
             # curriculum stage advance (balance entry :416-460)
             frac = sum(solved.values()) / num_tasks
             if lora_on and stage < max_stage and frac >= stage_solved_frac:

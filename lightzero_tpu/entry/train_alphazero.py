@@ -118,7 +118,16 @@ def train_alphazero(
         samples, cstats = collector.collect(
             state.params, temperature=temperature, num_episodes=int(pcfg.n_episode)
         )
-        replay.extend(samples)
+        if bool(pcfg.get("use_augmentation", False)):
+            # dihedral symmetry orbit per sample (reference
+            # get_augmented_data, lzero/mcts/utils.py:45)
+            from lightzero_tpu.ops.board_augment import get_augmented_data
+
+            for s in samples:
+                for aug in get_augmented_data(np.asarray(s.obs), np.asarray(s.probs), s.z):
+                    replay.append(aug)
+        else:
+            replay.extend(samples)
         if len(replay) < batch_size:
             continue
         logs = {}

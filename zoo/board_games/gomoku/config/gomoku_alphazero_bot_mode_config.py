@@ -14,6 +14,7 @@ main_config = Config(dict(
                    action_space_size=board_size * board_size,
                    num_channels=64, num_res_blocks=2),
         num_simulations=100, batch_size=256, update_per_collect=50, n_episode=8,
+        use_augmentation=True,  # 8-fold dihedral orbit (reference gomoku AZ)
         eval_freq=100, manual_temperature_decay=True,
         threshold_training_steps_for_final_temperature=int(5e4),
     ),

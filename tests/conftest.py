@@ -20,12 +20,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# NOTE: the persistent compilation cache is intentionally NOT enabled for
-# tests — the cache WRITE path (zstandard serialization of large CPU
-# executables) intermittently segfaults on this host, killing whole suite
-# runs mid-flight (observed twice in compilation_cache.put_executable_and
-# _time). Fresh compiles are slower but reliable. Opt back in with
-# LZT_TEST_CACHE=1 at your own risk.
+# NOTE: the persistent compilation cache is NOT used on the CPU backend at
+# all anymore — both the write path (zstandard serialization) and the READ
+# path (compilation_cache.get_executable_and_time deserializing
+# machine-feature-mismatched XLA:CPU AOT entries) intermittently segfault
+# on this host, killing whole suite runs mid-flight. setup_jax() now
+# disables the cache whenever the platform is cpu (utils/jax_setup.py), so
+# entry modules imported by tests cannot re-enable it behind our back.
+# Opt back in with LZT_TEST_CACHE=1 + LZT_FORCE_CPU_CACHE=1 at your own risk.
 if os.environ.get("LZT_TEST_CACHE", "0") == "1":
     from lightzero_tpu.utils.jax_setup import setup_jax  # noqa: E402
 

@@ -23,6 +23,11 @@ all-tests:
 suite:
 	bash scripts/run_suite.sh
 
+# slow tier only, per-file processes (XLA:CPU segfaults after ~110
+# compile-heavy tests in one process — see scripts/run_slow_suite.sh)
+slowtest:
+	bash scripts/run_slow_suite.sh
+
 bench:
 	$(PYTHON) bench.py
 

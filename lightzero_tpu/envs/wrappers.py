@@ -5,6 +5,11 @@ share one model (padded Atari frames,
 train_unizero_multitask_segment_ddp.py); ``PadVectorObs`` is the vector-obs
 equivalent, letting e.g. pendulum (3-dim) and cartpole (4-dim) share a
 multitask world model.
+
+``DiscretizeAction`` is the generic continuous->discrete action binning
+wrapper (reference lzero/envs/wrappers/action_discretization_env_wrapper.py)
+so any continuous env can be driven by the discrete MuZero/EZ families
+without a per-env ``discrete_bins`` hack.
 """
 from __future__ import annotations
 
@@ -41,6 +46,57 @@ class PadVectorObs(JaxEnv):
 
     def legal_mask(self, state: Any) -> jnp.ndarray:
         return self.env.legal_mask(state)
+
+    def initial_to_play(self, state: Any) -> jnp.ndarray:
+        return self.env.initial_to_play(state)
+
+
+class DiscretizeAction(JaxEnv):
+    """Expose a continuous env (normalized [-1, 1]^d actions) as a discrete
+    env with ``bins**d`` joint actions.
+
+    Mirrors the reference's
+    lzero/envs/wrappers/action_discretization_env_wrapper.py: each dimension
+    is binned uniformly over [-1, 1] and the discrete action indexes the
+    cartesian product (row-major, last dim fastest). ``bins=11`` on a 1-d
+    torque env reproduces the reference's "manually_discretization" pendulum
+    configs.
+    """
+
+    continuous = False
+
+    def __init__(self, env: JaxEnv, bins: int):
+        assert getattr(env, "continuous", False), "DiscretizeAction wraps continuous envs"
+        assert bins >= 2
+        self.env = env
+        self.bins = bins
+        self.action_dim = int(env.action_space_size)  # continuous convention: size == dim
+        self.action_space_size = bins**self.action_dim
+        self.observation_shape = env.observation_shape
+        self.num_players = env.num_players
+        # per-dim bin centers over the normalized range
+        self._levels = jnp.linspace(-1.0, 1.0, bins)
+
+    def _to_continuous(self, action: jnp.ndarray) -> jnp.ndarray:
+        idx = jnp.asarray(action, jnp.int32).reshape(())
+        digits = []
+        for d in range(self.action_dim - 1, -1, -1):
+            digits.append(idx % self.bins)
+            idx = idx // self.bins
+        digits = jnp.stack(digits[::-1])  # first dim is the slowest-varying
+        return self._levels[digits]
+
+    def reset(self, rng: jax.Array) -> Tuple[Any, jnp.ndarray]:
+        return self.env.reset(rng)
+
+    def step(self, state: Any, action: jnp.ndarray, rng: jax.Array) -> EnvStep:
+        cont = self._to_continuous(action)
+        if self.action_dim == 1:
+            cont = cont.reshape(())
+        return self.env.step(state, cont, rng)
+
+    def legal_mask(self, state: Any) -> jnp.ndarray:
+        return jnp.ones((self.action_space_size,), bool)
 
     def initial_to_play(self, state: Any) -> jnp.ndarray:
         return self.env.initial_to_play(state)

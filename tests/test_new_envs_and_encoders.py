@@ -96,3 +96,28 @@ def test_text_encoders_gated():
     enc = HFLanguageEncoder()
     e = enc.encode(["go north", "open the door"])
     assert e.shape == (2, enc.hidden_size)
+
+
+def test_discretize_action_wrapper():
+    from lightzero_tpu.envs.pendulum import PendulumEnv
+    from lightzero_tpu.envs.wrappers import DiscretizeAction
+
+    env = DiscretizeAction(PendulumEnv(), bins=11)
+    assert env.action_space_size == 11 and env.continuous is False
+    rng = jax.random.PRNGKey(0)
+    s, obs = env.reset(rng)
+    assert obs.shape == (3,)
+    # bin 0 -> full negative torque: parity with the env's own discrete path
+    ref = PendulumEnv(discrete_bins=11)
+    s2, _ = ref.reset(rng)
+    r_wrap = jax.jit(env.step)(s, jnp.asarray(0), rng).reward
+    r_ref = jax.jit(ref.step)(s2, jnp.asarray(0), rng).reward
+    np.testing.assert_allclose(np.asarray(r_wrap), np.asarray(r_ref), atol=1e-5)
+    # 2-d product binning: index = a0*bins + a1, levels over [-1, 1]
+    class TwoDim(PendulumEnv):
+        action_space_size = 2
+        continuous = True
+    env2 = DiscretizeAction(TwoDim(), bins=3)
+    assert env2.action_space_size == 9
+    cont = env2._to_continuous(jnp.asarray(5))  # a0=1, a1=2 -> [0.0, 1.0]
+    np.testing.assert_allclose(np.asarray(cont), [0.0, 1.0], atol=1e-6)

@@ -55,12 +55,14 @@ class DiscretizeAction(JaxEnv):
     """Expose a continuous env (normalized [-1, 1]^d actions) as a discrete
     env with ``bins**d`` joint actions.
 
-    Mirrors the reference's
+    Serves the same role as the reference's
     lzero/envs/wrappers/action_discretization_env_wrapper.py: each dimension
-    is binned uniformly over [-1, 1] and the discrete action indexes the
-    cartesian product (row-major, last dim fastest). ``bins=11`` on a 1-d
-    torque env reproduces the reference's "manually_discretization" pendulum
-    configs.
+    is binned uniformly and the discrete action indexes the cartesian
+    product (row-major, last dim fastest). Intentional deviation: bin
+    levels are the full-range symmetric ``linspace(-1, 1, bins)`` (both
+    endpoints included, matching this repo's PendulumEnv ``discrete_bins``
+    path), whereas the reference maps ``k -> -1 + (2/n)*k`` and never emits
+    +1. Full-range levels keep max-torque actions reachable.
     """
 
     continuous = False
@@ -93,7 +95,12 @@ class DiscretizeAction(JaxEnv):
         cont = self._to_continuous(action)
         if self.action_dim == 1:
             cont = cont.reshape(())
-        return self.env.step(state, cont, rng)
+        out = self.env.step(state, cont, rng)
+        # the inner continuous env reports legal_mask with ITS action shape
+        # ((action_dim,)); collector/evaluator scans carry step.legal_mask
+        # whose initial carry is this wrapper's (bins**d,) mask, so rewrite
+        # it to the discrete width to keep the scan carry shape-stable
+        return out._replace(legal_mask=jnp.ones((self.action_space_size,), bool))
 
     def legal_mask(self, state: Any) -> jnp.ndarray:
         return jnp.ones((self.action_space_size,), bool)

@@ -121,3 +121,34 @@ def test_discretize_action_wrapper():
     assert env2.action_space_size == 9
     cont = env2._to_continuous(jnp.asarray(5))  # a0=1, a1=2 -> [0.0, 1.0]
     np.testing.assert_allclose(np.asarray(cont), [0.0, 1.0], atol=1e-6)
+    # non-zero bin: level k of linspace(-1,1,11) is -1 + 0.2*k (full range,
+    # documented deviation from the reference's -1 + (2/n)*k levels)
+    r_wrap3 = jax.jit(env.step)(s, jnp.asarray(3), rng).reward
+    r_ref3 = jax.jit(ref.step)(s2, jnp.asarray(3), rng).reward
+    np.testing.assert_allclose(np.asarray(r_wrap3), np.asarray(r_ref3), atol=1e-5)
+    # step() must advertise the DISCRETE action width in legal_mask — the
+    # collector scan carries step.legal_mask with initial carry (bins**d,)
+    out = jax.jit(env.step)(s, jnp.asarray(0), rng)
+    assert out.legal_mask.shape == (env.action_space_size,)
+
+
+def test_discretize_action_wrapper_in_collector():
+    """End-to-end: the wrapped env must survive a collector scan step
+    (this is exactly where the legal_mask carry-shape bug manifested)."""
+    from lightzero_tpu.envs.pendulum import PendulumEnv
+    from lightzero_tpu.envs.wrappers import DiscretizeAction
+    from lightzero_tpu.policy import MuZeroPolicy
+    from lightzero_tpu.workers import RolloutCollector
+
+    env = DiscretizeAction(PendulumEnv(), bins=5)
+    cfg = MuZeroPolicy.default_config()
+    cfg.model.observation_shape = 3
+    cfg.model.action_space_size = env.action_space_size
+    cfg.model.latent_state_dim = 16
+    cfg.model.support_scale = 25
+    cfg.num_simulations = 2
+    policy = MuZeroPolicy(cfg)
+    state = policy.init_train_state(jax.random.PRNGKey(0))
+    coll = RolloutCollector(env, policy, 2, rollout_length=4)
+    episodes, priorities, stats = coll.collect(state.params, min_steps=4)
+    assert stats["steps"] >= 4

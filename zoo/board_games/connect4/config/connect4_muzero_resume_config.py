@@ -22,10 +22,13 @@ main_config = Config(dict(
         td_steps=21, discount_factor=1.0, num_simulations=50, batch_size=256,
         update_per_collect=50, n_episode=8, eval_freq=2000,
         learning_rate=0.003, grad_clip_value=0.5,
+        auto_resume=True, save_ckpt_freq=3000,
     ),
 ))
 
 if __name__ == "__main__":
     from lightzero_tpu.entry import train_muzero
-    ckpt = os.path.join("data_mz/connect4_muzero_ns50_seed0/ckpt/iteration_30000")
+    sidecar = os.path.join(main_config["exp_name"], "ckpt", "resume_meta.json")
+    ckpt = (None if os.path.exists(sidecar)  # continue via auto_resume
+            else "data_mz/connect4_muzero_ns50_seed0/ckpt/iteration_30000")
     train_muzero(main_config, seed=1, model_path=ckpt, max_env_step=int(15e4))

@@ -17,6 +17,7 @@ main_config = Config(dict(
         ssl_loss_weight=2.0,
         num_simulations=25, batch_size=256, update_per_collect=100,
         n_episode=8, eval_freq=200, manual_temperature_decay=True,
+        auto_resume=True, save_ckpt_freq=3000,
         threshold_training_steps_for_final_temperature=int(5e4),
     ),
 ))

@@ -277,6 +277,19 @@ def _unizero_dp_step(ctx, n_devices) -> str:
     return f"unizero_dp_step loss={loss:.4f}==ref"
 
 
+def _control_plane_multiproc(ctx, n_devices) -> str:
+    """Real world_size==2 control plane: two OS processes jax.distributed-
+    initialize against a localhost coordinator and run collector-stat
+    allreduce, eval broadcast, task-weight broadcast, and a cross-process
+    global-mesh reduction (reference multi-host surface,
+    train_unizero_multitask_segment_ddp.py:388-451). This is the one part
+    the in-process virtual mesh cannot exercise — every distributed helper
+    short-circuits at world_size 1."""
+    from lightzero_tpu.parallel.dryrun_multiproc import launch
+
+    return launch(num_processes=2)
+
+
 def run(n_devices: int) -> None:
     import jax
 
@@ -302,7 +315,7 @@ def run(n_devices: int) -> None:
     ctx = {}
     results = []
     for phase in (_muzero_dp_step, _multitask_partition_step, _sharded_search,
-                  _unizero_dp_step):
+                  _unizero_dp_step, _control_plane_multiproc):
         t0 = time.perf_counter()
         results.append(f"{phase(ctx, n_devices)} [{time.perf_counter() - t0:.0f}s]")
         print("phase done:", results[-1], flush=True)

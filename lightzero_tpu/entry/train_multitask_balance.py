@@ -41,7 +41,7 @@ from lightzero_tpu.entry.train_muzero_multitask import compute_task_weights
 from lightzero_tpu.utils.benchmark_scores import normalized_stats
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.utils import POLICY_REGISTRY
-from lightzero_tpu.utils.checkpoint import save_checkpoint
+from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
 
@@ -116,10 +116,34 @@ def train_multitask_balance(
     lora_on = int(pcfg.model.get("lora_r", 0)) > 0 and max_stage > 0
 
     train_iter = 0
+    env_step_base = 0
     last_eval = -eval_freq - 1
     stage = int(pcfg.model.get("curriculum_stage", 0))
     solved: Dict[int, bool] = {t: False for t in range(num_tasks)}
     task_returns: Dict[int, float] = {t: -1e9 for t in range(num_tasks)}
+    # crashed/trimmed-run auto-resume (same sidecar protocol as
+    # train_muzero, SURVEY §5.3): restore params + counters; buffers are
+    # rebuilt from fresh self-play with the restored (strong) params
+    meta_path = os.path.join(cfg0.exp_name, "ckpt", "resume_meta.json")
+    if pcfg.get("auto_resume", False) and os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        ckpt = os.path.join(cfg0.exp_name, "ckpt", str(meta["last_ckpt"]))
+        if os.path.isdir(ckpt):
+            state = load_checkpoint(ckpt, target=state)
+            train_iter = int(meta["train_iter"])
+            env_step_base = int(meta["env_steps"])
+            stage = int(meta.get("stage", stage))
+            if stage > 0 and lora_on:
+                policy.set_curriculum_stage(stage)
+                state = state._replace(opt_state=policy.optimizer.init(state.params))
+                collectors, evaluators = build_workers()
+            logger.info(
+                f"auto_resume: restored {meta['last_ckpt']} (iter={train_iter} "
+                f"envstep={env_step_base} stage={stage})"
+            )
     # debounce: a task counts as solved only after ``solved_patience``
     # CONSECUTIVE above-threshold evals — with few-episode evaluators a
     # single lucky eval would otherwise freeze the trunk (stage switch)
@@ -128,7 +152,7 @@ def train_multitask_balance(
     solved_streak: Dict[int, int] = {t: 0 for t in range(num_tasks)}
 
     def total_env_steps():
-        return sum(c.total_env_steps for c in collectors)
+        return env_step_base + sum(c.total_env_steps for c in collectors)
 
     while total_env_steps() < max_env_step and train_iter < max_train_iter:
         temperature = visit_count_temperature(
@@ -155,7 +179,7 @@ def train_multitask_balance(
                     )
             logger.log_scalars(
                 {f"task{ti}/eval_mean_return": task_returns[ti] for ti in range(num_tasks)},
-                sum(c.total_env_steps for c in collectors),
+                total_env_steps(),
                 prefix="evaluator/",
             )
             logger.info(
@@ -231,6 +255,14 @@ def train_multitask_balance(
             f"solved={[t for t, s in solved.items() if s]} "
             f"loss={float(logs.get('total_loss', 0)):.3f}"
         )
+        if train_iter % int(pcfg.get("save_ckpt_freq", 10_000)) < upc:
+            import json
+
+            name = f"iteration_{train_iter}"
+            save_checkpoint(state, os.path.join(cfg0.exp_name, "ckpt", name))
+            with open(meta_path, "w") as f:
+                json.dump(dict(last_ckpt=name, train_iter=train_iter,
+                               env_steps=int(total_env_steps()), stage=stage), f)
         if all(solved.values()):
             logger.info("all tasks solved — stopping")
             break

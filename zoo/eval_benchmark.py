@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CASES = {
     "cartpole_muzero": (
         "zoo/classic_control/cartpole/config/cartpole_muzero_config.py",
-        "data_muzero/cartpole_muzero_ns25_upc100_rer0.0_seed0", 195.0),
+        "data_muzero/cartpole_muzero_ns25_upc100_rer0_seed0", 195.0),
     "cartpole_rezero": (
         "zoo/classic_control/cartpole/config/cartpole_rezero_mz_config.py",
         "data_rezero/cartpole_rezero_mz_seed0", 195.0),

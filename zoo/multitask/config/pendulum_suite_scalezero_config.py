@@ -46,6 +46,8 @@ _shared_policy = dict(
     stage_solved_frac=0.6,
     use_adaptive_entropy_weight=False,
     policy_entropy_weight=5e-3,
+    auto_resume=True,
+    save_ckpt_freq=1200,
 )
 
 task_configs = [

@@ -80,8 +80,10 @@ def _traverse_kernel(
     pvsum_ref[:, 0:1] = root_ref[:, 1:2]
     pvisit_ref[:, 0:1] = root_ref[:, 2:3]
 
-    iota_n = jax.lax.broadcasted_iota(f32, (Bt, N), 1)
-    iota_a = jax.lax.broadcasted_iota(f32, (Bt, A), 1)
+    # int32 iota: Mosaic's tpu.iota only lowers for integer result types
+    # (a float iota fails TPU verification — caught on-chip, round 4)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Bt, N), 1)
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (Bt, A), 1)
 
     def normalize(q):
         # minmax_normalize (tree.py:59): only when delta > 0
@@ -92,7 +94,7 @@ def _traverse_kernel(
     def body(t, carry):
         node, parent_q, is_root, done, depth, parent, last_action, leaf_term = carry
 
-        node_oh = (iota_n == node).astype(f32)                     # (Bt, N)
+        node_oh = (iota_n == node.astype(jnp.int32)).astype(f32)   # (Bt, N)
         row = jnp.sum(packed * node_oh[:, :, None], axis=1)        # (Bt, C)
 
         row_children = row[:, 0:A]
@@ -135,7 +137,7 @@ def _traverse_kernel(
             action = jnp.argmax(jnp.where(near, u, -jnp.inf), axis=1,
                                 keepdims=True).astype(f32)
 
-        action_oh = (iota_a == action).astype(f32)                  # (Bt, A)
+        action_oh = (iota_a == action.astype(jnp.int32)).astype(f32)  # (Bt, A)
         next_child = jnp.sum(row_children * action_oh, axis=1, keepdims=True)
         child_term = jnp.sum(cterm.astype(f32) * action_oh, axis=1, keepdims=True) > 0.5
         entered_reward = jnp.sum(creward * action_oh, axis=1, keepdims=True)

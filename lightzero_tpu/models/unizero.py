@@ -43,6 +43,14 @@ class UniZeroModel(nn.Module):
     norm_type: str = "LN"
     last_linear_layer_init_zero: bool = True
     simnorm_dim: int = 8
+    # Final norm on obs embeddings / predicted next embeddings (reference
+    # final_norm_option_in_encoder, sampled_unizero.py:124-133): 'SimNorm'
+    # (discrete simplex latents — pair with group_kl obs loss) or
+    # 'LayerNorm' (continuous latents — pair with MSE; the reference's
+    # continuous-control default). SimNorm+MSE quantizes away small
+    # action effects — root cause of the flat sampled-unizero pendulum
+    # runs (round 4).
+    latent_norm: str = "SimNorm"
     # conv encoder (image obs)
     num_channels: int = 64
     downsample: bool = True
@@ -92,7 +100,10 @@ class UniZeroModel(nn.Module):
                 num_channels=self.num_channels, downsample=self.downsample, norm_type=self.norm_type
             )
             self._enc_proj = nn.Dense(D)
-        self._simnorm = SimNorm(self.simnorm_dim)
+        if self.latent_norm == "SimNorm":
+            self._simnorm = SimNorm(self.simnorm_dim)
+        else:
+            self._simnorm = nn.LayerNorm()
         if self.continuous_action:
             self._act_embed_dense = nn.Dense(D)
         else:
@@ -334,6 +345,11 @@ class UniZeroModel(nn.Module):
             moe_in_transformer=bool(wm.get("moe_in_transformer", model_cfg.get("moe_in_transformer", False))),
             num_experts=int(wm.get("num_experts", model_cfg.get("num_experts", 4))),
             num_experts_per_tok=int(wm.get("num_experts_per_tok", model_cfg.get("num_experts_per_tok", 1))),
+            latent_norm=str(
+                wm.get("final_norm_option_in_encoder",
+                       model_cfg.get("final_norm_option_in_encoder",
+                                     model_cfg.get("latent_norm", "SimNorm")))
+            ),
             num_tasks=int(wm.get("num_tasks", model_cfg.get("num_tasks", 0))),
             lora_r=int(wm.get("lora_r", model_cfg.get("lora_r", 0))),
             curriculum_stage_num=int(wm.get("curriculum_stage_num", model_cfg.get("curriculum_stage_num", 1))),

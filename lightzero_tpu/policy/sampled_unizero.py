@@ -25,7 +25,7 @@ from lightzero_tpu.policy.sampled_muzero import (
     gaussian_tanh_logp,
     gaussian_tanh_sample,
 )
-from lightzero_tpu.policy.unizero import UniZeroPolicy
+from lightzero_tpu.policy.unizero import UniZeroPolicy, predict_latent_loss
 from lightzero_tpu.search import RecurrentOutput, RootOutput, batch_puct_search
 from lightzero_tpu.utils import POLICY_REGISTRY
 
@@ -133,8 +133,9 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         value_loss = cross_entropy_loss(out["value_logits"], tv_cat).sum(-1)
         reward_loss = cross_entropy_loss(out["reward_logits"], tr_cat).sum(-1)
         target_e = jax.lax.stop_gradient(out["obs_embeddings"][:, 1:])
-        obs_loss = jnp.sum(
-            jnp.mean((out["obs_pred"] - target_e) ** 2, axis=-1) * base.mask, axis=-1
+        obs_loss = predict_latent_loss(
+            out["obs_pred"], target_e, base.mask,
+            str(cfg.get("predict_latent_loss_type", "mse")),
         )
         normalize = bool(cfg.get("normalize_prob_of_sampled_actions", True))
         # visit-weighted Gaussian CE per obs position

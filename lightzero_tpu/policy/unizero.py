@@ -38,6 +38,25 @@ from lightzero_tpu.search import (
 from lightzero_tpu.utils import POLICY_REGISTRY
 
 
+def predict_latent_loss(pred, target, mask, loss_type: str, group_size: int = 8):
+    """Next-latent prediction loss per sample: (B, K, D) pred/target ->
+    (B,) masked sum over unroll steps (reference world_model.py:2055-2076).
+
+    'mse' pairs with LayerNorm latents; 'group_kl' treats each simnorm
+    group as a distribution and sums KL within groups — the small
+    per-group probability shifts carrying action information are
+    first-order in KL but second-order in MSE."""
+    if loss_type == "group_kl":
+        eps = 1e-6
+        B, K, D = pred.shape
+        G = D // group_size
+        p = pred.reshape(B, K, G, group_size) + eps
+        t = target.reshape(B, K, G, group_size) + eps
+        kl = jnp.sum(t * (jnp.log(t) - jnp.log(p)), axis=-1).mean(-1)  # (B, K)
+        return jnp.sum(kl * mask, axis=-1)
+    return jnp.sum(jnp.mean((pred - target) ** 2, axis=-1) * mask, axis=-1)
+
+
 @POLICY_REGISTRY.register("unizero")
 class UniZeroPolicy(MuZeroPolicy):
     stateful_collect = True
@@ -52,6 +71,11 @@ class UniZeroPolicy(MuZeroPolicy):
         cfg.model.num_heads = 8
         cfg.model.max_tokens = 32
         cfg.obs_loss_weight = 10.0
+        # next-latent prediction loss (reference predict_latent_loss_type,
+        # unizero.py:194-201): 'mse' for LayerNorm latents, 'group_kl' for
+        # SimNorm latents (KL within each simnorm group amplifies the small
+        # per-group probability shifts that MSE under-weights)
+        cfg.predict_latent_loss_type = "mse"
         cfg.target_update_freq = 100
         # tokenizer-decoder reconstruction loss (tokenizer.py:283-301);
         # > 0 instantiates the decoder
@@ -281,8 +305,9 @@ class UniZeroPolicy(MuZeroPolicy):
         reward_loss = cross_entropy_loss(out["reward_logits"], tr_cat).sum(-1)
         # next-obs embedding prediction (masked beyond trajectory)
         target_e = jax.lax.stop_gradient(out["obs_embeddings"][:, 1:])  # (B, K, D)
-        obs_loss = jnp.sum(
-            jnp.mean((out["obs_pred"] - target_e) ** 2, axis=-1) * batch.mask, axis=-1
+        obs_loss = predict_latent_loss(
+            out["obs_pred"], target_e, batch.mask,
+            str(cfg.get("predict_latent_loss_type", "mse")),
         )
         prob = jax.nn.softmax(out["policy_logits"][:, 0], axis=-1)
         entropy = -jnp.sum(prob * jnp.log(jnp.maximum(prob, 1e-9)), axis=-1)

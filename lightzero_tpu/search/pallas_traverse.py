@@ -73,17 +73,25 @@ def _traverse_kernel(
     vmin = vminmax_ref[:, 0:1]                  # (Bt, 1)
     vmax = vminmax_ref[:, 1:2]
 
-    # column 0 of the path recordings = the root's pre-backup stats
-    path_ref[:, 0:1] = jnp.zeros((Bt, 1), f32)
-    paction_ref[:, 0:1] = jnp.zeros((Bt, 1), f32)
-    preward_ref[:, 0:1] = root_ref[:, 0:1]
-    pvsum_ref[:, 0:1] = root_ref[:, 1:2]
-    pvisit_ref[:, 0:1] = root_ref[:, 2:3]
-
     # int32 iota: Mosaic's tpu.iota only lowers for integer result types
     # (a float iota fails TPU verification — caught on-chip, round 4)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (Bt, N), 1)
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (Bt, A), 1)
+    # column iota over the path recordings: Mosaic cannot store a single
+    # dynamic column into the 128-lane dim ("index in dimension 1 must be
+    # a multiple of 128" — caught on-chip, round 4), so every per-step
+    # write below is a one-hot masked full-row read-modify-write
+    Dmax = path_ref.shape[1]
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (Bt, Dmax), 1)
+
+    # column 0 of the path recordings = the root's pre-backup stats
+    col0 = iota_d == 0
+    zrow = jnp.zeros((Bt, Dmax), f32)
+    path_ref[:, :] = zrow
+    paction_ref[:, :] = zrow
+    preward_ref[:, :] = jnp.where(col0, root_ref[:, 0:1], 0.0)
+    pvsum_ref[:, :] = jnp.where(col0, root_ref[:, 1:2], 0.0)
+    pvisit_ref[:, :] = jnp.where(col0, root_ref[:, 2:3], 0.0)
 
     def normalize(q):
         # minmax_normalize (tree.py:59): only when delta > 0
@@ -150,12 +158,14 @@ def _traverse_kernel(
         new_depth = jnp.where(move, depth + 1.0, depth)
         new_node = jnp.where(move, next_child, node)
 
-        # path column t+1 (written for every lane; backup masks by depth)
-        path_ref[:, pl.ds(t + 1, 1)] = new_node
-        paction_ref[:, pl.ds(t + 1, 1)] = action
-        preward_ref[:, pl.ds(t + 1, 1)] = entered_reward
-        pvsum_ref[:, pl.ds(t + 1, 1)] = entered_vsum
-        pvisit_ref[:, pl.ds(t + 1, 1)] = entered_visit
+        # path column t+1 (written for every lane; backup masks by depth);
+        # one-hot full-row RMW — see iota_d note above
+        oh_col = iota_d == (t + 1)
+        path_ref[:, :] = jnp.where(oh_col, new_node, path_ref[:, :])
+        paction_ref[:, :] = jnp.where(oh_col, action.astype(f32), paction_ref[:, :])
+        preward_ref[:, :] = jnp.where(oh_col, entered_reward, preward_ref[:, :])
+        pvsum_ref[:, :] = jnp.where(oh_col, entered_vsum, pvsum_ref[:, :])
+        pvisit_ref[:, :] = jnp.where(oh_col, entered_visit, pvisit_ref[:, :])
 
         return (
             new_node,
@@ -175,12 +185,13 @@ def _traverse_kernel(
         0, max_depth - 1, body, carry
     )
 
-    scal_ref[:, 0:1] = node
-    scal_ref[:, 1:2] = parent
-    scal_ref[:, 2:3] = last_action
-    scal_ref[:, 3:4] = depth
-    scal_ref[:, 4:5] = leaf_term.astype(f32)
-    scal_ref[:, 5:8] = jnp.zeros((Bt, 3), f32)
+    # single aligned full-row store (static narrow column stores at
+    # offsets 1..7 would hit the same lane-alignment constraint)
+    scal_ref[:, :] = jnp.concatenate(
+        [node, parent, last_action, depth, leaf_term.astype(f32),
+         jnp.zeros((Bt, 3), f32)],
+        axis=1,
+    )
 
 
 @functools.partial(

@@ -36,6 +36,9 @@ CASES = {
     "pendulum_sez": (
         "zoo/classic_control/pendulum/config/pendulum_sampled_efficientzero_config.py",
         "data_sez/pendulum_sampled_efficientzero_k20_seed0", -250.0),
+    "pendulum_suz": (
+        "zoo/classic_control/pendulum/config/pendulum_sampled_unizero_lr1e3_config.py",
+        "data_suz/pendulum_sampled_unizero_k16_lr1e3_seed0", -250.0),
     "breakout_grid_muzero": (
         "zoo/breakout_grid/config/breakout_grid_muzero_config.py",
         "data_mz/breakout_grid_muzero_seed0", 25.0),

@@ -42,7 +42,10 @@ _shared_policy = dict(
     eval_freq=40,
     num_unroll_steps=5,
     td_steps=5,
-    learning_rate=1e-4,  # UniZero-family AdamW convention
+    # lr 1e-4 ("UniZero AdamW convention") left the mu-head effectively at
+    # init on pendulum — the single-task isolation run solved the env at
+    # 1e-3 (eval -124 at 24k steps, data_suz/..._lr1e3_seed0, round 4)
+    learning_rate=1e-3,
     stage_solved_frac=0.6,
     use_adaptive_entropy_weight=False,
     policy_entropy_weight=5e-3,

@@ -1,0 +1,27 @@
+"""DeepMind Control (pixel obs) Sampled EfficientZero (reference
+zoo/dmc2gym/config/dmc2gym_pixels_sez_config.py: conv encoder over
+84x84x3 frames). GATED: requires dm_control."""
+from lightzero_tpu.config import Config
+
+domain, task = "cartpole", "swingup"
+
+main_config = Config(dict(
+    exp_name=f"data_sez/dmc2gym_{domain}_{task}_pixels_sez_seed0",
+    env=dict(env_id="dmc2gym", stop_value=int(1e6), collector_env_num=8,
+             evaluator_env_num=3,
+             env_kwargs=dict(domain_name=domain, task_name=task,
+                             from_pixels=True, height=84, width=84)),
+    policy=dict(
+        type="sampled_efficientzero",
+        model=dict(observation_shape=(84, 84, 3), action_space_size=1,
+                   continuous_action_space=True, model_type="conv",
+                   num_channels=64, num_res_blocks=1, downsample=True,
+                   lstm_hidden_size=256),
+        num_simulations=50, num_of_sampled_actions=20, batch_size=256,
+        update_per_collect=200, n_episode=8, eval_freq=1000,
+    ),
+))
+
+if __name__ == "__main__":
+    from lightzero_tpu.entry import train_muzero
+    train_muzero(main_config, seed=0, max_env_step=int(1e6))

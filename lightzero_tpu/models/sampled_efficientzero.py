@@ -31,7 +31,11 @@ class SampledEfficientZeroModel(nn.Module):
     1×1-conv reduction, and concat[mu_raw, sigma_raw] policy output."""
 
     observation_shape: Any = 3
-    action_space_size: int = 1  # continuous action dimension
+    action_space_size: int = 1  # continuous: action dim; discrete: #actions
+    # False = discrete sampled EfficientZero (reference
+    # sampled_efficientzero_model_mlp.py continuous_action_space=False): the
+    # policy head emits A logits and the dynamics consumes one-hot actions.
+    continuous_action_space: bool = True
     latent_state_dim: int = 128
     lstm_hidden_size: int = 256
     value_support_size: int = 601
@@ -72,7 +76,11 @@ class SampledEfficientZeroModel(nn.Module):
                 norm_type=self.norm_type,
             )
             self._pred = PredictionNetworkConv(
-                action_space_size=2 * self.action_space_size,
+                action_space_size=(
+                    2 * self.action_space_size
+                    if self.continuous_action_space
+                    else self.action_space_size
+                ),
                 value_support_size=self.value_support_size,
                 num_res_blocks=self.num_res_blocks,
                 num_channels=self.num_channels,
@@ -125,14 +133,19 @@ class SampledEfficientZeroModel(nn.Module):
             norm_type=self.norm_type,
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
-        # zero-init policy heads (see sampled_muzero.py: prevents the
-        # theta_dot-driven spin lock-in at init)
-        self._mu_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
-                                 norm_type=self.norm_type,
-                                 last_linear_layer_init_zero=self.last_linear_layer_init_zero)
-        self._sigma_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
-                                    norm_type=self.norm_type,
-                                    last_linear_layer_init_zero=self.last_linear_layer_init_zero)
+        if self.continuous_action_space:
+            # zero-init policy heads (see sampled_muzero.py: prevents the
+            # theta_dot-driven spin lock-in at init)
+            self._mu_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
+                                     norm_type=self.norm_type,
+                                     last_linear_layer_init_zero=self.last_linear_layer_init_zero)
+            self._sigma_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
+                                        norm_type=self.norm_type,
+                                        last_linear_layer_init_zero=self.last_linear_layer_init_zero)
+        else:
+            self._policy_head = MLPTorso(hidden_sizes=(32,), output_size=self.action_space_size,
+                                         norm_type=self.norm_type,
+                                         last_linear_layer_init_zero=self.last_linear_layer_init_zero)
         self._proj = SSLProjector()
 
     def representation(self, obs):
@@ -153,24 +166,42 @@ class SampledEfficientZeroModel(nn.Module):
     def prediction(self, latent):
         if self.model_type == "conv":
             value_logits, ms = self._pred(latent)
+            if not self.continuous_action_space:
+                return value_logits, ms
             mu_raw, sigma_raw = jnp.split(ms, 2, axis=-1)
             mu, sigma = self._mu_sigma(mu_raw, sigma_raw)
             return value_logits, mu, sigma
         x = self._common(latent)
         value_logits = self._value_head(x)
+        if not self.continuous_action_space:
+            return value_logits, self._policy_head(x)
         mu, sigma = self._mu_sigma(self._mu_head(x), self._sigma_head(x))
         return value_logits, mu, sigma
+
+    def _policy_out(self, pred):
+        if self.continuous_action_space:
+            value_logits, mu, sigma = pred
+            return value_logits, dict(mu=mu, sigma=sigma)
+        value_logits, logits = pred
+        return value_logits, dict(policy_logits=logits)
+
+    def _action_encoding(self, action):
+        if self.continuous_action_space:
+            return action
+        idx = action.astype(jnp.int32).reshape(action.shape[0])
+        return jax.nn.one_hot(idx, self.action_space_size, dtype=jnp.float32)
 
     def init_reward_hidden(self, batch_size: int):
         z = jnp.zeros((batch_size, self.lstm_hidden_size), jnp.float32)
         return (z, z)
 
-    def dynamics(self, latent, reward_hidden, action_vec):
+    def dynamics(self, latent, reward_hidden, action):
+        action_vec = self._action_encoding(action)
         if self.model_type == "conv":
             B, h, w, _ = latent.shape
             planes = jnp.broadcast_to(
                 action_vec.astype(latent.dtype)[:, None, None, :],
-                (B, h, w, self.action_space_size),
+                (B, h, w, action_vec.shape[-1]),
             )
             x = jnp.concatenate([latent, planes], axis=-1)
             x = self._dyn_conv(x)
@@ -192,27 +223,25 @@ class SampledEfficientZeroModel(nn.Module):
 
     def initial_inference(self, obs):
         latent = self._repr(obs)
-        value_logits, mu, sigma = self.prediction(latent)
+        value_logits, pol = self._policy_out(self.prediction(latent))
         B = latent.shape[0]
         return dict(
             value_logits=value_logits,
             value_prefix_logits=jnp.zeros((B, self.reward_support_size), value_logits.dtype),
-            mu=mu,
-            sigma=sigma,
             latent_state=latent,
             reward_hidden=self.init_reward_hidden(B),
+            **pol,
         )
 
-    def recurrent_inference(self, latent, reward_hidden, action_vec):
-        next_latent, carry, value_prefix_logits = self.dynamics(latent, reward_hidden, action_vec)
-        value_logits, mu, sigma = self.prediction(next_latent)
+    def recurrent_inference(self, latent, reward_hidden, action):
+        next_latent, carry, value_prefix_logits = self.dynamics(latent, reward_hidden, action)
+        value_logits, pol = self._policy_out(self.prediction(next_latent))
         return dict(
             value_logits=value_logits,
             value_prefix_logits=value_prefix_logits,
-            mu=mu,
-            sigma=sigma,
             latent_state=next_latent,
             reward_hidden=carry,
+            **pol,
         )
 
     def project(self, latent, with_grad: bool = True):
@@ -230,7 +259,10 @@ class SampledEfficientZeroModel(nn.Module):
             obs = jnp.zeros((batch_size,) + tuple(self.observation_shape), jnp.float32)
         else:
             obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
-        act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
+        if self.continuous_action_space:
+            act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
+        else:
+            act = jnp.zeros((batch_size,), jnp.int32)
         return self.init(rng, obs, act)
 
     @staticmethod
@@ -240,6 +272,7 @@ class SampledEfficientZeroModel(nn.Module):
         kwargs = dict(
             observation_shape=tuple(obs_shape) if isinstance(obs_shape, (list, tuple)) else obs_shape,
             action_space_size=model_cfg.get("action_space_size", 1),
+            continuous_action_space=model_cfg.get("continuous_action_space", True),
             latent_state_dim=model_cfg.get("latent_state_dim", 128),
             lstm_hidden_size=model_cfg.get("lstm_hidden_size", 256),
             norm_type=model_cfg.get("norm_type", "LN"),

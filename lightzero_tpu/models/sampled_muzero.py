@@ -33,7 +33,13 @@ class SampledMuZeroModel(nn.Module):
     prediction trunk."""
 
     observation_shape: Any = 3
-    action_space_size: int = 1  # continuous action dimension
+    action_space_size: int = 1  # continuous: action dim; discrete: #actions
+    # False = discrete sampled MuZero (reference sampled_muzero_model_mlp.py
+    # continuous_action_space=False branch): the policy head emits
+    # action_space_size logits, K candidates are drawn without replacement,
+    # and the dynamics net consumes the ONE-HOT action encoding
+    # (discrete_action_encoding_type='one_hot').
+    continuous_action_space: bool = True
     latent_state_dim: int = 128
     value_support_size: int = 601
     reward_support_size: int = 601
@@ -97,19 +103,26 @@ class SampledMuZeroModel(nn.Module):
             norm_type=self.norm_type,
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
-        # zero-init last layer (reference last_linear_layer_init_zero applies
-        # to the policy head too): mu=0 / sigma~1.05 at init. A randomly-init
-        # mu head responds to the UNNORMALIZED theta_dot input, locking the
-        # collect policy into one spin direction within the first episodes
-        # (diagnosed on Pendulum: collect_mu=-0.87 before any training).
-        self._mu_head = MLPTorso(
-            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
-            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
-        )
-        self._sigma_head = MLPTorso(
-            hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
-            last_linear_layer_init_zero=self.last_linear_layer_init_zero,
-        )
+        if self.continuous_action_space:
+            # zero-init last layer (reference last_linear_layer_init_zero
+            # applies to the policy head too): mu=0 / sigma~1.05 at init. A
+            # randomly-init mu head responds to the UNNORMALIZED theta_dot
+            # input, locking the collect policy into one spin direction within
+            # the first episodes (diagnosed on Pendulum: collect_mu=-0.87
+            # before any training).
+            self._mu_head = MLPTorso(
+                hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
+                last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+            )
+            self._sigma_head = MLPTorso(
+                hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
+                last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+            )
+        else:
+            self._policy_head = MLPTorso(
+                hidden_sizes=(32,), output_size=self.action_space_size, norm_type=self.norm_type,
+                last_linear_layer_init_zero=self.last_linear_layer_init_zero,
+            )
         self._proj = SSLProjector()
 
     def _setup_conv(self):
@@ -127,9 +140,13 @@ class SampledMuZeroModel(nn.Module):
             last_linear_layer_init_zero=self.last_linear_layer_init_zero,
         )
         # policy output = concat[mu_raw, sigma_raw] (reference sampled conv
-        # models emit 2*action_dim policy units)
+        # models emit 2*action_dim policy units); discrete = A logits
         self._pred = PredictionNetworkConv(
-            action_space_size=2 * self.action_space_size,
+            action_space_size=(
+                2 * self.action_space_size
+                if self.continuous_action_space
+                else self.action_space_size
+            ),
             value_support_size=self.value_support_size,
             num_res_blocks=self.num_res_blocks,
             num_channels=self.num_channels,
@@ -153,24 +170,39 @@ class SampledMuZeroModel(nn.Module):
         return mu, sigma
 
     def prediction(self, latent):
-        """→ (value_logits, mu, sigma)."""
+        """→ (value_logits, mu, sigma) continuous / (value_logits, logits)
+        discrete."""
         if self.model_type == "conv":
             value_logits, ms = self._pred(latent)
+            if not self.continuous_action_space:
+                return value_logits, ms
             mu_raw, sigma_raw = jnp.split(ms, 2, axis=-1)
             mu, sigma = self._mu_sigma(mu_raw, sigma_raw)
             return value_logits, mu, sigma
         x = self._common(latent)
         value_logits = self._value_head(x)
+        if not self.continuous_action_space:
+            return value_logits, self._policy_head(x)
         mu, sigma = self._mu_sigma(self._mu_head(x), self._sigma_head(x))
         return value_logits, mu, sigma
 
-    def dynamics(self, latent, action_vec):
-        """action_vec: (B, action_dim) raw continuous action in [-1, 1]."""
+    def _action_encoding(self, action):
+        """Continuous: raw (B, D) vector. Discrete: one-hot (B, A)
+        (reference discrete_action_encoding_type='one_hot')."""
+        if self.continuous_action_space:
+            return action
+        idx = action.astype(jnp.int32).reshape(action.shape[0])
+        return jax.nn.one_hot(idx, self.action_space_size, dtype=jnp.float32)
+
+    def dynamics(self, latent, action):
+        """action: (B, action_dim) continuous in [-1, 1], or (B,) int
+        discrete."""
+        action_vec = self._action_encoding(action)
         if self.model_type == "conv":
             B, h, w, _ = latent.shape
             planes = jnp.broadcast_to(
                 action_vec.astype(latent.dtype)[:, None, None, :],
-                (B, h, w, self.action_space_size),
+                (B, h, w, action_vec.shape[-1]),
             )
             return self._dyn(latent, planes)
         x = jnp.concatenate([latent, action_vec.astype(latent.dtype)], axis=-1)
@@ -178,27 +210,32 @@ class SampledMuZeroModel(nn.Module):
         reward_logits = self._reward_head(next_latent)
         return next_latent, reward_logits
 
+    def _policy_out(self, pred):
+        if self.continuous_action_space:
+            value_logits, mu, sigma = pred
+            return value_logits, dict(mu=mu, sigma=sigma)
+        value_logits, logits = pred
+        return value_logits, dict(policy_logits=logits)
+
     def initial_inference(self, obs):
         latent = self._repr(obs)
-        value_logits, mu, sigma = self.prediction(latent)
+        value_logits, pol = self._policy_out(self.prediction(latent))
         B = latent.shape[0]
         return dict(
             value_logits=value_logits,
             reward_logits=jnp.zeros((B, self.reward_support_size), value_logits.dtype),
-            mu=mu,
-            sigma=sigma,
             latent_state=latent,
+            **pol,
         )
 
-    def recurrent_inference(self, latent, action_vec):
-        next_latent, reward_logits = self.dynamics(latent, action_vec)
-        value_logits, mu, sigma = self.prediction(next_latent)
+    def recurrent_inference(self, latent, action):
+        next_latent, reward_logits = self.dynamics(latent, action)
+        value_logits, pol = self._policy_out(self.prediction(next_latent))
         return dict(
             value_logits=value_logits,
             reward_logits=reward_logits,
-            mu=mu,
-            sigma=sigma,
             latent_state=next_latent,
+            **pol,
         )
 
     def project(self, latent, with_grad: bool = True):
@@ -216,7 +253,10 @@ class SampledMuZeroModel(nn.Module):
             obs = jnp.zeros((batch_size,) + tuple(self.observation_shape), jnp.float32)
         else:
             obs = jnp.zeros((batch_size, int(self.observation_shape)), jnp.float32)
-        act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
+        if self.continuous_action_space:
+            act = jnp.zeros((batch_size, self.action_space_size), jnp.float32)
+        else:
+            act = jnp.zeros((batch_size,), jnp.int32)
         return self.init(rng, obs, act)
 
     @staticmethod
@@ -226,6 +266,7 @@ class SampledMuZeroModel(nn.Module):
         kwargs = dict(
             observation_shape=tuple(obs_shape) if isinstance(obs_shape, (list, tuple)) else obs_shape,
             action_space_size=model_cfg.get("action_space_size", 1),
+            continuous_action_space=model_cfg.get("continuous_action_space", True),
             latent_state_dim=model_cfg.get("latent_state_dim", 128),
             norm_type=model_cfg.get("norm_type", "LN"),
             model_type=model_cfg.get("model_type", default_type),

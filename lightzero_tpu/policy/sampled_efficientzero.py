@@ -24,7 +24,6 @@ from lightzero_tpu.policy.muzero import negative_cosine_similarity
 from lightzero_tpu.policy.sampled_muzero import (
     SampledMuZeroPolicy,
     gaussian_tanh_logp,
-    gaussian_tanh_sample,
 )
 from lightzero_tpu.search import RecurrentOutput
 from lightzero_tpu.utils import POLICY_REGISTRY
@@ -57,12 +56,12 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
     def _recurrent_fn(self, params, rng, slot, emb) -> RecurrentOutput:
         B = emb["latent"].shape[0]
         bidx = jnp.arange(B)
-        action_vec = emb["sampled_actions"][bidx, slot]
+        action = emb["sampled_actions"][bidx, slot]  # (B, D) cont / (B,) int
         out = self.model.apply(
             params,
             emb["latent"],
             (emb["c"], emb["h"]),
-            action_vec,
+            action,
             method=SampledEfficientZeroModel.recurrent_inference,
         )
         vp = inverse_scalar_transform(out["value_prefix_logits"], self.reward_support)
@@ -71,7 +70,7 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
         reset = (depth % self.lstm_horizon_len) == 0
         c, h = out["reward_hidden"]
         rm = reset[:, None].astype(c.dtype)
-        new_actions, logp = gaussian_tanh_sample(rng, out["mu"], out["sigma"], self.K)
+        new_actions, logp = self._sample_candidates(rng, out)
         return RecurrentOutput(
             reward=reward,
             value=inverse_scalar_transform(out["value_logits"], self.value_support),
@@ -95,7 +94,9 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
         out0 = self._initial(params, obs)
         B = obs.shape[0]
         rng, r_rng, s_rng, a_rng = jax.random.split(rng, 4)
-        root_actions, root_logp = gaussian_tanh_sample(r_rng, out0["mu"], out0["sigma"], self.K)
+        root_actions, root_logp = self._sample_candidates(
+            r_rng, out0, legal_mask=legal_mask if self.discrete else None
+        )
         pred_value = inverse_scalar_transform(out0["value_logits"], self.value_support)
         c, h = out0["reward_hidden"]
         root = RootOutput(
@@ -147,8 +148,23 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
 
         normalize = bool(cfg.get("normalize_prob_of_sampled_actions", False))
 
-        def policy_loss_at(mu, sigma, k):
-            logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+        def policy_loss_at(out, k):
+            if self.discrete:
+                # reference _calculate_policy_loss_disc
+                # (sampled_efficientzero.py:697): CE between normalized root
+                # visits over the K sampled actions and the categorical head
+                logits = out["policy_logits"]
+                acts = sampled[:, k].astype(jnp.int32)
+                if acts.ndim == 3:
+                    acts = acts[..., 0]
+                logp_all = jax.nn.log_softmax(logits, axis=-1)
+                logp = jnp.take_along_axis(logp_all, acts, axis=-1)
+                prob = jax.nn.softmax(logits, axis=-1)
+                ent = -jnp.sum(prob * logp_all, axis=-1)
+            else:
+                mu, sigma = out["mu"], out["sigma"]
+                logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+                ent = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1)
             if normalize:
                 # normalize densities over the K candidates with a DETACHED
                 # denominator (reference normalize_prob_of_sampled_actions,
@@ -158,11 +174,10 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
                     jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
                 )
             loss = -jnp.sum(base.target_policy[:, k] * logp, axis=-1)
-            ent = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1)
             return loss, ent
 
         value_loss = cross_entropy_loss(out0["value_logits"], tv_cat[:, 0])
-        policy_loss, entropy = policy_loss_at(out0["mu"], out0["sigma"], 0)
+        policy_loss, entropy = policy_loss_at(out0, 0)
         policy_entropy_loss = -entropy
         pred_value0 = inverse_scalar_transform(out0["value_logits"], self.value_support)
         value_priority = jnp.abs(pred_value0 - base.target_value[:, 0])
@@ -192,7 +207,7 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
                 consistency_loss = consistency_loss + negative_cosine_similarity(
                     proj_dyn, proj_obs
                 ) * base.mask[:, k]
-            pl, ent = policy_loss_at(out["mu"], out["sigma"], k + 1)
+            pl, ent = policy_loss_at(out, k + 1)
             policy_loss = policy_loss + pl
             policy_entropy_loss = policy_entropy_loss - ent
             value_loss = value_loss + cross_entropy_loss(out["value_logits"], tv_cat[:, k + 1])

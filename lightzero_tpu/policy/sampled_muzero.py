@@ -71,6 +71,23 @@ def gaussian_tanh_sample(rng, mu, sigma, num_samples, prior_space: str = "pre_ta
     return a, logp
 
 
+def sample_discrete_actions(rng, logits, num_samples, legal_mask=None):
+    """K DISTINCT actions via Gumbel-top-K — equivalent in distribution to
+    the reference's torch.multinomial(prob, K, replacement=False)
+    (ptree_sez.py:134). Returns (actions (B, K) int32, logp (B, K)) where
+    logp = log softmax over the (masked) action space at the sampled
+    actions; the fused kernel's softmax over the K slots then reproduces
+    the reference's prior/sum(sibling priors) pUCT prior exactly
+    (ptree_sez.py compute_ucb_score node_prior='density', line 612)."""
+    if legal_mask is not None:
+        logits = jnp.where(legal_mask, logits, -jnp.inf)
+    g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+    _, actions = jax.lax.top_k(logits + g, num_samples)
+    logp_all = jax.nn.log_softmax(jnp.where(jnp.isfinite(logits), logits, -1e9), axis=-1)
+    logp = jnp.take_along_axis(logp_all, actions, axis=-1)
+    return actions.astype(jnp.int32), logp
+
+
 def _normal_logp(x, mu, sigma):
     return jnp.sum(
         -0.5 * ((x - mu) / sigma) ** 2 - jnp.log(sigma) - 0.5 * jnp.log(2 * jnp.pi), axis=-1
@@ -102,6 +119,9 @@ class SampledMuZeroPolicy(MuZeroPolicy):
     def __init__(self, cfg: Config, model=None):
         self.K = int(cfg.get("num_of_sampled_actions", 20))
         self.action_dim = int(cfg.model.action_space_size)
+        # discrete sampled (reference continuous_action_space=False branch):
+        # K candidates drawn without replacement from the categorical head
+        self.discrete = not bool(cfg.model.get("continuous_action_space", True))
         if model is None:
             scale = cfg.model.get("support_scale", 300)
             model_cfg = Config(dict(cfg.model))
@@ -118,14 +138,22 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         out = self._initial(target_params, obs)
         return inverse_scalar_transform(out["value_logits"], self.value_support)
 
+    def _sample_candidates(self, rng, out, legal_mask=None):
+        """K candidate actions + prior log-weights from a net output dict."""
+        if self.discrete:
+            return sample_discrete_actions(
+                rng, out["policy_logits"], self.K, legal_mask=legal_mask
+            )
+        return gaussian_tanh_sample(rng, out["mu"], out["sigma"], self.K)
+
     def _recurrent_fn(self, params, rng, slot, emb) -> RecurrentOutput:
         B = emb["latent"].shape[0]
         bidx = jnp.arange(B)
-        action_vec = emb["sampled_actions"][bidx, slot]  # (B, D)
+        action = emb["sampled_actions"][bidx, slot]  # (B, D) cont / (B,) int
         out = self.model.apply(
-            params, emb["latent"], action_vec, method=SampledMuZeroModel.recurrent_inference
+            params, emb["latent"], action, method=SampledMuZeroModel.recurrent_inference
         )
-        new_actions, logp = gaussian_tanh_sample(rng, out["mu"], out["sigma"], self.K)
+        new_actions, logp = self._sample_candidates(rng, out)
         return RecurrentOutput(
             reward=inverse_scalar_transform(out["reward_logits"], self.reward_support),
             value=inverse_scalar_transform(out["value_logits"], self.value_support),
@@ -141,7 +169,9 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         out0 = self._initial(params, obs)
         B = obs.shape[0]
         rng, r_rng, s_rng, a_rng = jax.random.split(rng, 4)
-        root_actions, root_logp = gaussian_tanh_sample(r_rng, out0["mu"], out0["sigma"], self.K)
+        root_actions, root_logp = self._sample_candidates(
+            r_rng, out0, legal_mask=legal_mask if self.discrete else None
+        )
         pred_value = inverse_scalar_transform(out0["value_logits"], self.value_support)
         root = RootOutput(
             prior_logits=root_logp,
@@ -164,12 +194,8 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         slot, dist_entropy = sample_from_visit_counts(
             a_rng, search_out.visit_counts, temperature, deterministic=deterministic
         )
-        action = root_actions[jnp.arange(B), slot]  # (B, D) in [-1, 1]
-        # live diagnosis telemetry: where do the search targets pull mu?
-        vw = search_out.visit_counts.astype(jnp.float32)
-        vw = vw / jnp.maximum(jnp.sum(vw, axis=-1, keepdims=True), 1.0)
-        visit_mean_action = jnp.einsum("bk,bkd->bd", vw, root_actions)
-        return dict(
+        action = root_actions[jnp.arange(B), slot]  # (B, D) in [-1, 1] / (B,) int
+        out = dict(
             action=action,
             chosen_slot=slot,
             visit_counts=search_out.visit_counts,
@@ -177,10 +203,18 @@ class SampledMuZeroPolicy(MuZeroPolicy):
             searched_value=search_out.root_value,
             predicted_value=pred_value,
             distribution_entropy=dist_entropy,
-            visit_mean_action=jnp.mean(visit_mean_action, axis=-1),
-            collect_mu=jnp.mean(jnp.tanh(out0["mu"]), axis=-1),
-            collect_sigma=jnp.mean(out0["sigma"], axis=-1),
         )
+        if not self.discrete:
+            # live diagnosis telemetry: where do the search targets pull mu?
+            vw = search_out.visit_counts.astype(jnp.float32)
+            vw = vw / jnp.maximum(jnp.sum(vw, axis=-1, keepdims=True), 1.0)
+            visit_mean_action = jnp.einsum("bk,bkd->bd", vw, root_actions)
+            out.update(
+                visit_mean_action=jnp.mean(visit_mean_action, axis=-1),
+                collect_mu=jnp.mean(jnp.tanh(out0["mu"]), axis=-1),
+                collect_sigma=jnp.mean(out0["sigma"], axis=-1),
+            )
+        return out
 
     # ---------------------------------------------------------------- learn
     def _loss_fn(self, params, batch):
@@ -196,8 +230,26 @@ class SampledMuZeroPolicy(MuZeroPolicy):
 
         normalize = bool(cfg.get("normalize_prob_of_sampled_actions", False))
 
-        def policy_loss_at(mu, sigma, k):
-            logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+        def policy_loss_at(out, k):
+            if self.discrete:
+                # reference _calculate_policy_loss_disc
+                # (sampled_muzero.py:694-780): CE between normalized root
+                # visit counts over the K sampled actions and log softmax of
+                # the categorical head at those actions
+                logits = out["policy_logits"]  # (B, A)
+                acts = sampled[:, k].astype(jnp.int32)  # (B, Ks[, 1])
+                if acts.ndim == 3:
+                    acts = acts[..., 0]
+                logp_all = jax.nn.log_softmax(logits, axis=-1)
+                logp = jnp.take_along_axis(logp_all, acts, axis=-1)  # (B, Ks)
+                prob = jax.nn.softmax(logits, axis=-1)
+                ent = -jnp.sum(prob * logp_all, axis=-1)
+            else:
+                mu, sigma = out["mu"], out["sigma"]
+                logp = gaussian_tanh_logp(sampled[:, k], mu[:, None, :], sigma[:, None, :])
+                ent = jnp.sum(
+                    0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1
+                )  # Gaussian entropy (pre-squash)
             if normalize:
                 # normalize densities over the K candidates with a DETACHED
                 # denominator (reference normalize_prob_of_sampled_actions,
@@ -208,13 +260,10 @@ class SampledMuZeroPolicy(MuZeroPolicy):
                 )
             target = base.target_policy[:, k]  # (B, Ks) normalized visits
             loss = -jnp.sum(target * logp, axis=-1)
-            ent = jnp.sum(
-                0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1
-            )  # Gaussian entropy (pre-squash)
             return loss, ent
 
         value_loss = cross_entropy_loss(out0["value_logits"], tv_cat[:, 0])
-        policy_loss, entropy = policy_loss_at(out0["mu"], out0["sigma"], 0)
+        policy_loss, entropy = policy_loss_at(out0, 0)
         policy_entropy_loss = -entropy
         pred_value0 = inverse_scalar_transform(out0["value_logits"], self.value_support)
         value_priority = jnp.abs(pred_value0 - base.target_value[:, 0])
@@ -240,7 +289,7 @@ class SampledMuZeroPolicy(MuZeroPolicy):
                 consistency_loss = consistency_loss + negative_cosine_similarity(
                     proj_dyn, proj_obs
                 ) * base.mask[:, k]
-            pl, ent = policy_loss_at(rec["mu"], rec["sigma"], k + 1)
+            pl, ent = policy_loss_at(rec, k + 1)
             policy_loss = policy_loss + pl
             policy_entropy_loss = policy_entropy_loss - ent
             value_loss = value_loss + cross_entropy_loss(rec["value_logits"], tv_cat[:, k + 1])

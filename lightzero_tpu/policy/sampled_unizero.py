@@ -24,6 +24,7 @@ from lightzero_tpu.policy.sampled_muzero import (
     SampledTrainBatch,
     gaussian_tanh_logp,
     gaussian_tanh_sample,
+    sample_discrete_actions,
 )
 from lightzero_tpu.policy.unizero import UniZeroPolicy, predict_latent_loss
 from lightzero_tpu.search import RecurrentOutput, RootOutput, batch_puct_search
@@ -44,8 +45,20 @@ class SampledUniZeroPolicy(UniZeroPolicy):
 
     def __init__(self, cfg: Config, model=None):
         self.K = int(cfg.get("num_of_sampled_actions", 20))
+        # discrete sampled UniZero (reference sampled_unizero.py
+        # continuous_action_space=False branch: K candidates drawn without
+        # replacement from the categorical head, CE-over-sampled loss)
+        self.discrete = not bool(cfg.model.get("continuous_action_space", True))
         super().__init__(cfg, model=model)
-        assert self.model.continuous_action
+        assert self.model.continuous_action != self.discrete
+
+    def _sample_candidates(self, rng, out, legal_mask=None):
+        """K candidate actions + prior log-weights from a head-output dict."""
+        if self.discrete:
+            return sample_discrete_actions(
+                rng, out["policy_logits"], self.K, legal_mask=legal_mask
+            )
+        return gaussian_tanh_sample(rng, out["mu"], out["sigma"], self.K)
 
     # ------------------------------------------------------------ inference
     def _recurrent_fn(self, params, rng, slot, emb) -> RecurrentOutput:
@@ -60,7 +73,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         o_out, cache = self.model.apply(
             params, cache, a_out["obs_pred"], tid, method=UniZeroModel.infer_obs_step
         )
-        new_actions, logp = gaussian_tanh_sample(rng, o_out["mu"], o_out["sigma"], self.K)
+        new_actions, logp = self._sample_candidates(rng, o_out)
         return RecurrentOutput(
             reward=inverse_scalar_transform(a_out["reward_logits"], self.reward_support),
             value=inverse_scalar_transform(o_out["value_logits"], self.value_support),
@@ -79,7 +92,9 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         )
         pred_value = inverse_scalar_transform(o_out["value_logits"], self.value_support)
         rng, r_rng, s_rng, a_rng = jax.random.split(rng, 4)
-        root_actions, root_logp = gaussian_tanh_sample(r_rng, o_out["mu"], o_out["sigma"], self.K)
+        root_actions, root_logp = self._sample_candidates(
+            r_rng, o_out, legal_mask=legal_mask if self.discrete else None
+        )
         root = RootOutput(
             prior_logits=root_logp,
             value=pred_value,
@@ -138,17 +153,31 @@ class SampledUniZeroPolicy(UniZeroPolicy):
             str(cfg.get("predict_latent_loss_type", "mse")),
         )
         normalize = bool(cfg.get("normalize_prob_of_sampled_actions", True))
-        # visit-weighted Gaussian CE per obs position
-        mu, sigma = out["mu"], out["sigma"]  # (B, K+1, D)
-        logp = gaussian_tanh_logp(
-            sampled, mu[:, :, None, :], sigma[:, :, None, :]
-        )  # (B, K+1, Ks)
+        if self.discrete:
+            # reference _calculate_policy_loss_disc over the transformer's
+            # categorical head (sampled_unizero.py continuous=False branch):
+            # CE between normalized visits at the K sampled actions and
+            # log-softmax of the head at those actions, per obs position
+            logits = out["policy_logits"]  # (B, K+1, A)
+            acts = sampled.astype(jnp.int32)  # (B, K+1, Ks[, 1])
+            if acts.ndim == 4:
+                acts = acts[..., 0]
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(logp_all, acts, axis=-1)  # (B, K+1, Ks)
+            prob = jax.nn.softmax(logits, axis=-1)
+            entropy = -jnp.sum(prob * logp_all, axis=-1).mean(-1)
+        else:
+            # visit-weighted Gaussian CE per obs position
+            mu, sigma = out["mu"], out["sigma"]  # (B, K+1, D)
+            logp = gaussian_tanh_logp(
+                sampled, mu[:, :, None, :], sigma[:, :, None, :]
+            )  # (B, K+1, Ks)
+            entropy = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1).mean(-1)
         if normalize:
             logp = logp - jax.lax.stop_gradient(
                 jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
             )
         policy_loss = -jnp.sum(base.target_policy * logp, axis=-1).sum(-1)
-        entropy = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * sigma**2), axis=-1).mean(-1)
         pred_value0 = inverse_scalar_transform(out["value_logits"][:, 0], self.value_support)
         value_priority = jnp.abs(pred_value0 - base.target_value[:, 0])
 

@@ -88,8 +88,17 @@ class UniZeroPolicy(MuZeroPolicy):
         # decaying target entropy (reference unizero.py:1036-1100)
         cfg.use_adaptive_entropy_weight = True
         cfg.target_entropy_start_ratio = 0.98
-        cfg.target_entropy_end_ratio = 0.7
+        # reference end ratio is 0.05 (unizero.py:264) — an end ratio near
+        # 1.0 keeps alpha pushing the policy toward uniform forever, which
+        # caps how decisive the search priors can get
+        cfg.target_entropy_end_ratio = 0.05
+        # reference decays over 500k train iters (unizero.py:266); our runs
+        # are ~10x shorter, so the default anneals over 1e5
         cfg.target_entropy_decay_steps = int(1e5)
+        # dedicated lr for log_alpha (reference uses a separate Adam at
+        # 1e-3, unizero.py:724-725; inside the main AdamW the alpha step
+        # would be ~lr=1e-4, 10x too slow)
+        cfg.adaptive_entropy_alpha_lr = 1e-3
         # Encoder-Clip: rescale encoder weights when the max obs-embedding
         # norm exceeds an annealed threshold (unizero.py:1106-1137)
         cfg.use_encoder_clip_annealing = False
@@ -139,6 +148,23 @@ class UniZeroPolicy(MuZeroPolicy):
         import optax
 
         opt = super()._make_optimizer()
+        if bool(self.cfg.get("use_adaptive_entropy_weight", False)):
+            # dedicated Adam for log_alpha (reference unizero.py:724-725):
+            # the alpha loss is a single scalar whose gradient is
+            # (entropy - target); routing it through the main AdamW would
+            # move it at the model lr and apply weight decay to it
+            alpha_opt = optax.adam(float(self.cfg.get("adaptive_entropy_alpha_lr", 1e-3)))
+
+            def alpha_labels(params):
+                flat = jax.tree_util.tree_map_with_path(
+                    lambda path, _: "alpha"
+                    if any(getattr(k, "key", None) == "log_alpha" for k in path)
+                    else "model",
+                    params,
+                )
+                return flat
+
+            opt = optax.multi_transform({"model": opt, "alpha": alpha_opt}, alpha_labels)
         mcfg = self.cfg.model
         if int(mcfg.get("lora_r", 0)) > 0 and int(mcfg.get("curriculum_stage_num", 1)) > 1:
             from lightzero_tpu.models.unizero_world_model.transformer import (

@@ -41,7 +41,11 @@ from lightzero_tpu.policy.multitask import (  # noqa: F401
     UniZeroMTPolicy,
 )
 from lightzero_tpu.utils import ENV_REGISTRY, POLICY_REGISTRY
-from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from lightzero_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_lenient,
+    save_checkpoint,
+)
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
 
@@ -138,7 +142,7 @@ def train_muzero(
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)
     if model_path:
-        state = load_checkpoint(model_path, target=state)
+        state = load_checkpoint_lenient(model_path, target=state)
 
     buffer = GameBuffer(pcfg, policy)
     n_collect_envs = cfg.env.get("collector_env_num", 8)
@@ -180,7 +184,7 @@ def train_muzero(
                 meta = json.load(f)
             ckpt = os.path.join(cfg.exp_name, "ckpt", str(meta["last_ckpt"]))
             if os.path.isdir(ckpt):
-                state = load_checkpoint(ckpt, target=state)
+                state = load_checkpoint_lenient(ckpt, target=state)
                 train_iter = int(meta["train_iter"])
                 collector.total_env_steps = int(meta["env_steps"])
                 logger.info(
@@ -352,6 +356,6 @@ def eval_muzero(cfg, seed: int = 0, model_path: Optional[str] = None, n_episodes
     policy = policy_cls(cfg.policy)
     state = policy.init_train_state(jax.random.PRNGKey(seed))
     if model_path:
-        state = load_checkpoint(model_path, target=state)
+        state = load_checkpoint_lenient(model_path, target=state)
     evaluator = Evaluator(env, policy, cfg.env.get("evaluator_env_num", 3))
     return evaluator.eval(state.params, n_episodes=n_episodes)

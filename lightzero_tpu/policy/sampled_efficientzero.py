@@ -24,6 +24,7 @@ from lightzero_tpu.policy.muzero import negative_cosine_similarity
 from lightzero_tpu.policy.sampled_muzero import (
     SampledMuZeroPolicy,
     gaussian_tanh_logp,
+    sampled_search_prior,
 )
 from lightzero_tpu.search import RecurrentOutput
 from lightzero_tpu.utils import POLICY_REGISTRY
@@ -74,7 +75,7 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
         return RecurrentOutput(
             reward=reward,
             value=inverse_scalar_transform(out["value_logits"], self.value_support),
-            prior_logits=logp,
+            prior_logits=sampled_search_prior(self.cfg, logp),
             embedding=dict(
                 latent=out["latent_state"],
                 sampled_actions=new_actions,
@@ -100,7 +101,7 @@ class SampledEfficientZeroPolicy(SampledMuZeroPolicy):
         pred_value = inverse_scalar_transform(out0["value_logits"], self.value_support)
         c, h = out0["reward_hidden"]
         root = RootOutput(
-            prior_logits=root_logp,
+            prior_logits=sampled_search_prior(self.cfg, root_logp),
             value=pred_value,
             embedding=dict(
                 latent=out0["latent_state"],

@@ -88,6 +88,24 @@ def sample_discrete_actions(rng, logits, num_samples, legal_mask=None):
     return actions.astype(jnp.int32), logp
 
 
+def sampled_search_prior(cfg, logp):
+    """Priors over the K sampled slots fed to pUCT.
+
+    The reference's PRODUCTION C++ sampled tree uses a UNIFORM empirical
+    distribution over the sampled children — its own comment reads
+    "uniform is very important to the performance of sampled algo"
+    (ctree_sampled_muzero/lib/cnode.cpp:1016) — which is also the Sampled
+    MuZero paper's beta-correction with beta=pi. Its ptree mirror instead
+    uses 'density' (ptree_sez.py:598), which round-3/4 runs showed creates
+    a sigma-collapse feedback loop: central candidates get higher prior ->
+    more visits -> the visit-weighted CE pulls sigma down -> candidates
+    cluster tighter -> mu never moves off its init. Default 'uniform';
+    'density' is kept for golden parity tests vs the ptree."""
+    if str(cfg.get("sampled_node_prior", "uniform")) == "uniform":
+        return jnp.zeros_like(logp)
+    return logp
+
+
 def _normal_logp(x, mu, sigma):
     return jnp.sum(
         -0.5 * ((x - mu) / sigma) ** 2 - jnp.log(sigma) - 0.5 * jnp.log(2 * jnp.pi), axis=-1
@@ -110,6 +128,10 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         cfg.type = "sampled_muzero"
         cfg.num_of_sampled_actions = 20
         cfg.normalize_prob_of_sampled_actions = False
+        # pUCT prior over sampled slots: 'uniform' (reference C++ default,
+        # cnode.cpp:1016) or 'density' (ptree mirror) — see
+        # sampled_search_prior
+        cfg.sampled_node_prior = "uniform"
         cfg.model.continuous_action_space = True
         cfg.model.self_supervised_learning_loss = True
         cfg.ssl_loss_weight = 2.0
@@ -157,7 +179,7 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         return RecurrentOutput(
             reward=inverse_scalar_transform(out["reward_logits"], self.reward_support),
             value=inverse_scalar_transform(out["value_logits"], self.value_support),
-            prior_logits=logp,
+            prior_logits=sampled_search_prior(self.cfg, logp),
             embedding=dict(latent=out["latent_state"], sampled_actions=new_actions),
         )
 
@@ -174,7 +196,7 @@ class SampledMuZeroPolicy(MuZeroPolicy):
         )
         pred_value = inverse_scalar_transform(out0["value_logits"], self.value_support)
         root = RootOutput(
-            prior_logits=root_logp,
+            prior_logits=sampled_search_prior(self.cfg, root_logp),
             value=pred_value,
             embedding=dict(latent=out0["latent_state"], sampled_actions=root_actions),
         )

@@ -25,6 +25,7 @@ from lightzero_tpu.policy.sampled_muzero import (
     gaussian_tanh_logp,
     gaussian_tanh_sample,
     sample_discrete_actions,
+    sampled_search_prior,
 )
 from lightzero_tpu.policy.unizero import UniZeroPolicy, predict_latent_loss
 from lightzero_tpu.search import RecurrentOutput, RootOutput, batch_puct_search
@@ -77,7 +78,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
         return RecurrentOutput(
             reward=inverse_scalar_transform(a_out["reward_logits"], self.reward_support),
             value=inverse_scalar_transform(o_out["value_logits"], self.value_support),
-            prior_logits=logp,
+            prior_logits=sampled_search_prior(self.cfg, logp),
             embedding=dict(cache=cache, sampled_actions=new_actions),
         )
 
@@ -96,7 +97,7 @@ class SampledUniZeroPolicy(UniZeroPolicy):
             r_rng, o_out, legal_mask=legal_mask if self.discrete else None
         )
         root = RootOutput(
-            prior_logits=root_logp,
+            prior_logits=sampled_search_prior(self.cfg, root_logp),
             value=pred_value,
             embedding=dict(cache=cache, sampled_actions=root_actions),
         )

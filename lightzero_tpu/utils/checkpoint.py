@@ -60,3 +60,60 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
             jax.tree_util.tree_structure(target), jax.tree_util.tree_leaves(restored)
         )
     return restored
+
+
+def load_checkpoint_lenient(path: str, target: Any) -> Any:
+    """Restore a TrainState-like pytree across OPTIMIZER-structure drift:
+    warm-starting an old checkpoint after the optimizer changed (e.g. a new
+    optax partition) fails a strict full-tree restore, but the params /
+    target_params are still compatible. Falls back to restoring only the
+    fields that match, keeping the target's fresh opt_state (a fresh
+    optimizer over trained weights — same as the reference loading a
+    model_path into a new learner, lzero/entry/train_muzero.py:96-98)."""
+    try:
+        return load_checkpoint(path, target=target)
+    except Exception as e:  # structure mismatch: field-wise fallback
+        import logging
+
+        raw = load_checkpoint(path, target=None)
+        # orbax restores a NamedTuple as a dict keyed by FIELD NAME; pickle
+        # gives the sequence back. Align each field and keep the fresh
+        # value where the saved subtree no longer unflattens into the
+        # field's structure.
+        fields = list(getattr(target, "_fields", ()))
+        if isinstance(raw, (list, tuple)) and len(raw) == len(fields):
+            raw = dict(zip(fields, raw))
+        if not fields or not isinstance(raw, dict):
+            raise e
+        restored = target
+        ok, failed = [], []
+        for field in fields:
+            if field not in raw:
+                failed.append(field)
+                continue
+            tgt_field = getattr(target, field)
+            try:
+                sub = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(tgt_field),
+                    jax.tree_util.tree_leaves(raw[field]),
+                )
+                # leaf shapes must match too, or the field is stale
+                jax.tree_util.tree_map(
+                    lambda a, b: (_ for _ in ()).throw(
+                        ValueError(f"shape {np.shape(a)} vs {np.shape(b)}")
+                    )
+                    if np.shape(a) != np.shape(b)
+                    else None,
+                    sub,
+                    tgt_field,
+                )
+                restored = restored._replace(**{field: sub})
+                ok.append(field)
+            except Exception:
+                failed.append(field)
+        if "params" not in ok:
+            raise e
+        logging.warning(
+            "load_checkpoint_lenient(%s): restored %s; kept fresh %s", path, ok, failed
+        )
+        return restored

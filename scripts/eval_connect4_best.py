@@ -15,12 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lightzero_tpu.entry import eval_muzero
 from zoo.board_games.connect4.config.connect4_muzero_bot_mode_config import main_config
 
-EXP = "data_mz/connect4_muzero_ns50_seed0"
+EXP = os.environ.get("C4_EVAL_EXP", "data_mz/connect4_muzero_ns50_seed0")
 N_EPISODES = int(os.environ.get("C4_EVAL_EPISODES", "20"))
 EVAL_SIMS = int(os.environ.get("C4_EVAL_SIMS", "0"))  # 0 = config default
+CKPTS = os.environ.get("C4_EVAL_CKPTS", "ckpt_best,iteration_30000").split(",")
 
 results = {}
-for name in ("ckpt_best", "iteration_30000"):
+for name in CKPTS:
     path = os.path.join(EXP, "ckpt", name)
     if not os.path.isdir(path):
         continue

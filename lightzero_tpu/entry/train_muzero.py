@@ -164,6 +164,7 @@ def train_muzero(
         )
     logger = ExperimentLogger(cfg.exp_name, "train")
     stop_value = cfg.env.get("stop_value", float("inf"))
+    stop_streak = 0
     eval_freq = int(pcfg.get("eval_freq", 100))
     batch_size = int(pcfg.batch_size)
     n_episode = int(pcfg.get("n_episode", 8))
@@ -234,9 +235,17 @@ def train_muzero(
             )
             if res["new_best"]:
                 save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_best"))
+            # stop only after N consecutive evals at/above stop_value: a
+            # single 3-episode eval spike can be a fluke on high-variance
+            # envs (pendulum random starts), and stopping on one froze
+            # round-4's suz run at 9.7k steps with a -592 true mean
             if res["mean_return"] >= stop_value:
-                logger.info(f"stop_value {stop_value} reached; stopping.")
-                break
+                stop_streak += 1
+                if stop_streak >= int(pcfg.get("stop_consecutive_evals", 1)):
+                    logger.info(f"stop_value {stop_value} reached; stopping.")
+                    break
+            else:
+                stop_streak = 0
         # ---- collect ----
         # segment mode (reference train_muzero_segment.py /
         # muzero_segment_collector.py): num_segments x game_segment_length

@@ -31,4 +31,4 @@ if __name__ == "__main__":
     sidecar = os.path.join(main_config["exp_name"], "ckpt", "resume_meta.json")
     ckpt = (None if os.path.exists(sidecar)  # continue via auto_resume
             else "data_mz/connect4_muzero_ns50_seed0/ckpt/iteration_30000")
-    train_muzero(main_config, seed=1, model_path=ckpt, max_env_step=int(15e4))
+    train_muzero(main_config, seed=1, model_path=ckpt, max_env_step=int(32e4))

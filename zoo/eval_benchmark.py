@@ -48,8 +48,8 @@ CASES = {
         "zoo/classic_control/pendulum/config/pendulum_smz_uniform_config.py",
         "data_smz/pendulum_smz_uniformprior_seed0", -250.0),
     "pendulum_sez": (
-        "zoo/classic_control/pendulum/config/pendulum_sampled_efficientzero_config.py",
-        "data_sez/pendulum_sampled_efficientzero_k20_seed0", -250.0),
+        "zoo/classic_control/pendulum/config/pendulum_sez_uniform_config.py",
+        "data_sez/pendulum_sez_uniformprior_seed0", -250.0),
     "pendulum_suz": (
         "zoo/classic_control/pendulum/config/pendulum_sampled_unizero_v2_config.py",
         "data_suz/pendulum_sampled_unizero_v2_seed0", -250.0),

@@ -59,6 +59,13 @@ CASES = {
     "memory_unizero": (
         "zoo/memory/config/memory_unizero_config.py",
         "data_uz/memory10_unizero_seed0", 0.9),
+    # round-4 conv + long-context capability rows
+    "freeway_muzero": (
+        "zoo/minatar/config/freeway_muzero_config.py",
+        "data_mz/freeway_grid_muzero_seed0", 18.0),
+    "memory100_unizero": (
+        "zoo/memory/config/memory100_unizero_v2_config.py",
+        "data_uz/memory100_unizero_v2_seed0", 0.9),
     "tictactoe_muzero": (
         "zoo/board_games/tictactoe/config/tictactoe_muzero_bot_mode_config.py",
         "data_mz/tictactoe_muzero_bot_mode_ns25_seed0", 0.8),

@@ -23,7 +23,7 @@ from lightzero_tpu.policy.alphazero import AlphaZeroPolicy, AZTrainBatch
 from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.policy.sampled_alphazero import SampledAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.utils import ENV_REGISTRY
-from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, save_params_export
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers.alphazero_workers import (
     AlphaZeroBotEvaluator,
@@ -111,6 +111,9 @@ def train_alphazero(
             )
             if res["new_best"]:
                 save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_best"))
+                save_params_export(
+                    state, os.path.join(cfg.exp_name, "ckpt", "params_best")
+                )
             if res["mean_return"] >= stop_value:
                 logger.info("stop_value reached; stopping.")
                 break

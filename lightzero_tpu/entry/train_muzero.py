@@ -45,6 +45,7 @@ from lightzero_tpu.utils.checkpoint import (
     load_checkpoint,
     load_checkpoint_lenient,
     save_checkpoint,
+    save_params_export,
 )
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
@@ -235,6 +236,9 @@ def train_muzero(
             )
             if res["new_best"]:
                 save_checkpoint(state, os.path.join(cfg.exp_name, "ckpt", "ckpt_best"))
+                save_params_export(
+                    state, os.path.join(cfg.exp_name, "ckpt", "params_best")
+                )
             # stop only after N consecutive evals at/above stop_value: a
             # single 3-episode eval spike can be a fluke on high-variance
             # envs (pendulum random starts), and stopping on one froze

@@ -36,6 +36,23 @@ def save_checkpoint(state: Any, path: str) -> str:
         return pkl
 
 
+def save_params_export(state: Any, path: str) -> str:
+    """Durable params-only export next to the full TrainState checkpoint.
+
+    Full checkpoints (params + target_params + 2x Adam moments) are large
+    and gitignored, so they die with the sandbox; a params-only export is
+    ~5x smaller and is what eval/deploy/warm-start actually need. The dict
+    layout restores into any TrainState via ``load_checkpoint_lenient``
+    (field-wise: params/target_params land, the fresh opt_state is kept) —
+    the same semantics as the reference loading a ``model_path`` into a new
+    learner (lzero/entry/train_muzero.py:96-98).
+    """
+    export = {"params": state.params}
+    if hasattr(state, "target_params"):
+        export["target_params"] = state.target_params
+    return save_checkpoint(export, path)
+
+
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     if os.path.isdir(path):

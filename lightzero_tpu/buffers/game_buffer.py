@@ -80,6 +80,14 @@ class GameBuffer:
             self.board_mode
             and cfg.get("battle_mode", "self_play_mode") == "self_play_mode"
         )
+        # column-mirror augmentation for width-symmetric board games whose
+        # action space is the column index (connect4): each sampled unroll
+        # is left-right mirrored with prob 0.5 — obs (W axis), actions
+        # (a -> W-1-a) and policy targets flip together, value/reward are
+        # mirror-invariant. Extends the AZ-path dihedral augmentation
+        # (ops/board_augment.py, reference lzero/mcts/utils.py:45) onto the
+        # MuZero unroll batch; the reference does not augment board MuZero.
+        self.mirror_augmentation = bool(cfg.get("mirror_augmentation", False))
         self._rng = np.random.RandomState(cfg.get("seed", 0) + 4096)
         self._jit_bootstrap = jax.jit(self._bootstrap_values)
         # native C++ replay core (sampling + unroll index assembly); the
@@ -193,7 +201,37 @@ class GameBuffer:
             weights = np.ones(batch_size)
 
         batch = self._make_batch(idx, target_params, np.asarray(weights, np.float32))
+        if self.mirror_augmentation:
+            batch = self._mirror_augment(batch)
         return batch, idx
+
+    def _mirror_augment(self, batch: TrainBatch) -> TrainBatch:
+        """Left-right mirror each sample with prob 0.5 (column-action boards).
+
+        Valid only when the policy width equals the board width (A == W) and
+        actions are discrete column indices; applied AFTER reanalyze so the
+        policy targets stay aligned with the (mirrored) observations. Works
+        on the output of both the python and native batch paths.
+        """
+        if not isinstance(batch, TrainBatch):
+            return batch  # sampled-action batches: not supported
+        W = int(batch.obs.shape[-2])
+        A = int(batch.target_policy.shape[-1])
+        assert A == W and batch.actions.dtype in (jnp.int32, jnp.int64), (
+            "mirror_augmentation requires column-action boards (A == obs W, "
+            f"discrete actions); got A={A} W={W} dtype={batch.actions.dtype}")
+        B = int(batch.obs.shape[0])
+        flip = jnp.asarray(self._rng.rand(B) < 0.5)
+
+        def pick(mirrored, orig):
+            m = flip.reshape((B,) + (1,) * (orig.ndim - 1))
+            return jnp.where(m, mirrored, orig)
+
+        return batch._replace(
+            obs=pick(batch.obs[..., ::-1, :], batch.obs),
+            actions=pick((A - 1) - batch.actions, batch.actions),
+            target_policy=pick(batch.target_policy[..., ::-1], batch.target_policy),
+        )
 
     def update_priority(self, idx: np.ndarray, new_priorities: np.ndarray):
         """game_buffer_muzero.py:809 — priorities from |v̂ − z|."""

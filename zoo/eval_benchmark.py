@@ -69,9 +69,11 @@ CASES = {
     "tictactoe_muzero": (
         "zoo/board_games/tictactoe/config/tictactoe_muzero_bot_mode_config.py",
         "data_mz/tictactoe_muzero_bot_mode_ns25_seed0", 0.8),
+    # from-scratch augmented rerun: the ns50 run + its continuation lost all
+    # checkpoints to the sandbox restart (recorded verdicts: 0.857/0.824)
     "connect4_muzero": (
-        "zoo/board_games/connect4/config/connect4_muzero_resume_config.py",
-        "data_mz/connect4_muzero_ns50_seed0_cont", 0.9),
+        "zoo/board_games/connect4/config/connect4_muzero_aug_config.py",
+        "data_mz/connect4_muzero_aug_seed0", 0.9),
 }
 
 
@@ -89,14 +91,26 @@ def _load_main_config(config_path):
 BOARD_CASES = {"tictactoe_muzero", "connect4_muzero"}
 
 
+def resolve_eval_ckpt(exp_abs):
+    """Best evaluable checkpoint for an exp dir: the full ckpt_best when it
+    survives, else the durable params-only export (full checkpoints are
+    gitignored and die with the sandbox; params_best restores leniently —
+    trained params + fresh opt_state, which is all eval needs)."""
+    for name in ("ckpt_best", "params_best"):
+        p = os.path.join(exp_abs, "ckpt", name)
+        if os.path.isdir(p):
+            return p
+    return None
+
+
 def reeval_ckpt_best(config_path, exp_dir, n_episodes=REEVAL_EPISODES):
     """Deterministic multi-episode re-eval of <exp_dir>/ckpt/ckpt_best.
 
     Returns (mean_return, win_rate, n_episodes); (None, None, 0) when no
     best checkpoint exists yet.
     """
-    ckpt = os.path.join(REPO, exp_dir, "ckpt", "ckpt_best")
-    if not os.path.isdir(ckpt):
+    ckpt = resolve_eval_ckpt(os.path.join(REPO, exp_dir))
+    if ckpt is None:
         return None, None, 0
     import copy
     from lightzero_tpu.entry import eval_muzero

@@ -1,13 +1,14 @@
-"""Memory env UniZero at memory_length 250 — the stretch beyond the solved
-len-100 run (data_uz/memory100_unizero_v2_seed0: eval 1.0 @ 98k env steps)
-toward the reference's hardest published memory benchmark (memory_length up
-to 500, reference zoo/memory/config/memory_unizero_config.py).
+"""Memory env UniZero at memory_length 250 — long-context stretch row.
 
-Same v2 recipe that solved len 100 — train the WHOLE episode in one
-context window so the cue token is always attendable from the query step —
-scaled to a 512-token window (episode = 250 + 6 steps, 2 tokens/step).
-Batch drops 48 -> 32 to offset the 2.4x longer sequences; everything else
-is the len-100 recipe."""
+Scales the solved len-100 recipe (memory100_unizero_v2_config.py: eval 1.0
+at 98k env steps on one v5e chip) toward the reference's hardest published
+memory rows (reference zoo/memory/config/ benchmarks memory_length up to
+500). The whole episode still fits the ring-KV context (max_tokens 512);
+batch drops 48 -> 24 to keep the (B, unroll≈252, embed) training activations
+inside HBM at the longer sequence. auto_resume + frequent checkpoints +
+durable params_best exports let trimmed queue slots accumulate progress
+across rounds instead of restarting.
+"""
 from lightzero_tpu.config import Config
 
 memory_length = 250
@@ -26,12 +27,12 @@ main_config = Config(dict(
         num_simulations=25,
         num_unroll_steps=memory_length + 2,  # whole episode per training sequence
         td_steps=memory_length + 2,
-        batch_size=32, update_per_collect=40, n_episode=8,
+        batch_size=24, update_per_collect=40, n_episode=8,
         eval_freq=150, learning_rate=3e-4, discount_factor=0.99,
-        auto_resume=True, save_ckpt_freq=1000,
+        auto_resume=True, save_ckpt_freq=1500,
     ),
 ))
 
 if __name__ == "__main__":
     from lightzero_tpu.entry import train_unizero
-    train_unizero(main_config, seed=0, max_env_step=int(5e5))
+    train_unizero(main_config, seed=0, max_env_step=int(6e5))

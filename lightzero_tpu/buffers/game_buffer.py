@@ -214,7 +214,23 @@ class GameBuffer:
         on the output of both the python and native batch paths.
         """
         if not isinstance(batch, TrainBatch):
-            return batch  # sampled-action batches: not supported
+            # sampled-action / multitask batch layouts carry continuous or
+            # per-task action tensors the column mirror cannot remap — fail
+            # loudly rather than silently training unaugmented
+            raise TypeError(
+                "mirror_augmentation is only supported for TrainBatch "
+                f"(discrete column-action boards); got {type(batch).__name__}")
+        if batch.chance is not None and bool(jnp.any(batch.chance != 0)):
+            # chance codes (stochastic MuZero) index env randomness whose
+            # spatial meaning the mirror would desync
+            raise ValueError(
+                "mirror_augmentation cannot be combined with nontrivial "
+                "chance codes (stochastic envs)")
+        # NHWC board obs only: (B, K+1, H, W[, C]); a 1D MLP obs (B, K+1, D)
+        # could coincidentally satisfy A == shape[-2] and flip a wrong axis
+        assert batch.obs.ndim >= 4, (
+            "mirror_augmentation requires board-shaped obs (B, K+1, H, W[, C]); "
+            f"got obs.ndim={batch.obs.ndim}")
         W = int(batch.obs.shape[-2])
         A = int(batch.target_policy.shape[-1])
         assert A == W and batch.actions.dtype in (jnp.int32, jnp.int64), (

@@ -23,7 +23,11 @@ from lightzero_tpu.policy.alphazero import AlphaZeroPolicy, AZTrainBatch
 from lightzero_tpu.policy.gumbel_alphazero import GumbelAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.policy.sampled_alphazero import SampledAlphaZeroPolicy  # noqa: F401
 from lightzero_tpu.utils import ENV_REGISTRY
-from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, save_params_export
+from lightzero_tpu.utils.checkpoint import (
+    load_checkpoint_lenient,
+    save_checkpoint,
+    save_params_export,
+)
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers.alphazero_workers import (
     AlphaZeroBotEvaluator,
@@ -66,7 +70,10 @@ def train_alphazero(
     rng, init_rng = jax.random.split(rng)
     state = policy.init_train_state(init_rng)
     if model_path:
-        state = load_checkpoint(model_path, target=state)
+        # lenient: accepts both full TrainState checkpoints and the durable
+        # params-only exports written by save_params_export (which lack
+        # opt_state/train_iter and would fail a strict structural restore)
+        state = load_checkpoint_lenient(model_path, target=state)
 
     rng, c_rng, e_rng = jax.random.split(rng, 3)
     collector = AlphaZeroSelfPlayCollector(
@@ -183,7 +190,8 @@ def eval_alphazero(cfg, seed: int = 0, model_path: Optional[str] = None,
     rng, init_rng, e_rng = jax.random.split(rng, 3)
     state = policy.init_train_state(init_rng)
     if model_path:
-        state = load_checkpoint(model_path, target=state)
+        # lenient: params_best exports restore too (see train_alphazero)
+        state = load_checkpoint_lenient(model_path, target=state)
     evaluator = AlphaZeroBotEvaluator(
         eval_env, policy, cfg.env.get("evaluator_env_num", 4), rng=e_rng
     )

@@ -100,6 +100,10 @@ def resolve_eval_ckpt(exp_abs):
         p = os.path.join(exp_abs, "ckpt", name)
         if os.path.isdir(p):
             return p
+        # save_checkpoint falls back to '<path>.pkl' when orbax is absent;
+        # load_checkpoint already resolves the .pkl form
+        if os.path.exists(p + ".pkl"):
+            return p + ".pkl"
     return None
 
 

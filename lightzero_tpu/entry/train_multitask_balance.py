@@ -41,7 +41,11 @@ from lightzero_tpu.entry.train_muzero_multitask import compute_task_weights
 from lightzero_tpu.utils.benchmark_scores import normalized_stats
 from lightzero_tpu.ops import visit_count_temperature
 from lightzero_tpu.utils import POLICY_REGISTRY
-from lightzero_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from lightzero_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_params_export,
+)
 from lightzero_tpu.utils.logger import ExperimentLogger
 from lightzero_tpu.workers import Evaluator, RolloutCollector
 
@@ -118,6 +122,7 @@ def train_multitask_balance(
     train_iter = 0
     env_step_base = 0
     last_eval = -eval_freq - 1
+    best_mean_return = -float("inf")
     stage = int(pcfg.model.get("curriculum_stage", 0))
     solved: Dict[int, bool] = {t: False for t in range(num_tasks)}
     task_returns: Dict[int, float] = {t: -1e9 for t in range(num_tasks)}
@@ -185,6 +190,20 @@ def train_multitask_balance(
             logger.info(
                 "EVAL " + " ".join(f"task{ti}={task_returns[ti]:.1f}" for ti in range(num_tasks))
             )
+            # best-checkpoint tracking on the cross-task mean (round-4
+            # verdict: the v2 suite's "solved" claim could not be re-verified
+            # because no checkpoint was ever saved) — full ckpt_best for
+            # resume + durable params_best export for re-eval
+            cur_mean = sum(task_returns.values()) / num_tasks
+            if cur_mean > best_mean_return and all(
+                r > -1e8 for r in task_returns.values()
+            ):
+                best_mean_return = cur_mean
+                save_checkpoint(state, os.path.join(cfg0.exp_name, "ckpt", "ckpt_best"))
+                save_params_export(
+                    state, os.path.join(cfg0.exp_name, "ckpt", "params_best")
+                )
+                logger.info(f"new best mean return {cur_mean:.1f} -> ckpt_best")
             # human-normalized mean/median when task names resolve to a
             # benchmark table (reference UniZero-MT scaffolding)
             hn_mean, hn_median = normalized_stats({

@@ -1,5 +1,18 @@
 """Pallas TPU kernel: the whole pUCT traverse fused into ONE kernel.
 
+STATUS (round 5): ARCHIVED — documented negative result. The on-chip A/B
+(PALLAS_AB.json, round 4) measured this kernel at 0.73x the default XLA
+path (3.27M vs 4.49M sims/s, B=1024/50 sims). The loss is structural, not
+a layout bug: each pallas_call still round-trips the packed table through
+HBM once per SIMULATION (the kernel only keeps it VMEM-resident across
+depth levels within one traverse), while between traverses the
+expand/backup/net steps run outside the kernel — so the table can never
+stay resident across the 50-simulation loop without also fusing the
+recurrent net and backup into the kernel (a full search rewrite, not a
+tile-shape fix). The kernel remains exact-parity tested
+(tests/test_pallas_traverse.py, interpret mode) and flag-gated OFF
+(cfg.use_pallas_traverse); the XLA fused path is the production default.
+
 The XLA `_traverse` (puct.py:266) is a `lax.while_loop` whose body does a
 packed-table gather + UCB + argmax per depth level; every level round-trips
 the (B, N, 7A+2) table through HBM between fused HLO ops. This kernel keeps

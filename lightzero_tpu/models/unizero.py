@@ -38,6 +38,9 @@ class UniZeroModel(nn.Module):
     num_layers: int = 2
     num_heads: int = 8
     max_tokens: int = 32  # ring-buffer capacity = 2 * context steps
+    # sliding inference-attention window in TOKENS (reference
+    # context_length = 2 * infer_context_length); 0 = full ring visible
+    context_window: int = 0
     value_support_size: int = 601
     reward_support_size: int = 601
     norm_type: str = "LN"
@@ -76,6 +79,7 @@ class UniZeroModel(nn.Module):
             num_heads=self.num_heads,
             embed_dim=D,
             max_tokens=self.max_tokens,
+            context_window=self.context_window,
             moe_in_transformer=self.moe_in_transformer,
             num_experts=self.num_experts,
             num_experts_per_tok=self.num_experts_per_tok,
@@ -337,6 +341,9 @@ class UniZeroModel(nn.Module):
             num_layers=wm.get("num_layers", model_cfg.get("num_layers", 2)),
             num_heads=wm.get("num_heads", model_cfg.get("num_heads", 8)),
             max_tokens=wm.get("max_tokens", model_cfg.get("max_tokens", 32)),
+            context_window=int(
+                wm.get("context_length", model_cfg.get("context_window", 0))
+            ),
             norm_type=model_cfg.get("norm_type", "LN"),
             num_channels=model_cfg.get("num_channels", 64),
             downsample=model_cfg.get("downsample", True),

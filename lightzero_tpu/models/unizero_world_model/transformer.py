@@ -38,6 +38,12 @@ class TransformerConfig:
     attn_dropout: float = 0.0
     resid_dropout: float = 0.0
     rope_base: float = 10000.0
+    # sliding attention window for INCREMENTAL inference, in tokens
+    # (reference context_length = 2 * infer_context_length,
+    # atari_unizero_config.py:61 — the reference trains on max_tokens-wide
+    # causal attention but trims the collect/eval/search context to this
+    # many recent tokens). 0 = no limit beyond the ring capacity.
+    context_window: int = 0
     # sparse mixture-of-experts feed-forward (reference moe flags in
     # TransformerConfig, transformer.py:290 + moe.py)
     moe_in_transformer: bool = False
@@ -218,7 +224,16 @@ class SelfAttention(nn.Module):
             att = jnp.einsum("bhqd,bhkd->bhqk", q, all_k) / jnp.sqrt(Dh)
             valid = all_pos[:, None, None, :] >= 0
             causal = pos[:, None, :, None] >= all_pos[:, None, None, :]
-            att = jnp.where(valid & causal, att, -jnp.inf)
+            keep = valid & causal
+            if cfg.context_window > 0:
+                # sliding window: only the last context_window tokens are
+                # visible (reference trim_and_pad to context_length,
+                # world_model.py:1506)
+                recent = all_pos[:, None, None, :] > (
+                    pos[:, None, :, None] - cfg.context_window
+                )
+                keep = keep & recent
+            att = jnp.where(keep, att, -jnp.inf)
             att = jax.nn.softmax(att, axis=-1)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, all_v)
             new_kv = (k, v, pos)

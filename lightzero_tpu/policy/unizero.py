@@ -220,6 +220,7 @@ class UniZeroPolicy(MuZeroPolicy):
             num_heads=self.model.num_heads,
             embed_dim=self.model.embed_dim,
             max_tokens=self.model.max_tokens,
+            context_window=self.model.context_window,
         )
         return init_kv_cache(tcfg, batch_size)
 

@@ -241,6 +241,9 @@ def main():
                        num_layers=1 if SMOKE else 2,
                        num_heads=4 if SMOKE else 8,
                        max_tokens=24, support_scale=50,
+                       # A/B hook: PROBE_CTX_WINDOW=8 mirrors the reference
+                       # infer_context_length=4 inference trim
+                       context_window=int(os.environ.get("PROBE_CTX_WINDOW", "0")),
                        num_channels=16 if SMOKE else 64, downsample=False),
             num_simulations=4 if SMOKE else 50,
             batch_size=8 if SMOKE else 256,

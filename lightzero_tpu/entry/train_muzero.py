@@ -294,7 +294,8 @@ def train_muzero(
                 "buffer_transitions": buffer.num_transitions,
                 "temperature": temperature,
                 **{k: v for k, v in cstats.items()
-                   if k in ("visit_mean_action", "collect_mu", "collect_sigma")},
+                   if k in ("visit_mean_action", "collect_mu", "collect_sigma",
+                            "visit_entropy", "searched_value")},
             },
             collector.total_env_steps,
             prefix="collector/",

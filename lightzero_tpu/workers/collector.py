@@ -278,4 +278,16 @@ class RolloutCollector:
         for k in ("visit_mean_action", "collect_mu", "collect_sigma"):
             if k in self._last_records:
                 stats[k] = float(np.mean(np.asarray(self._last_records[k])))
+        # search decisiveness telemetry: mean entropy of the root visit
+        # distribution and mean searched root value (the round-4 UniZero
+        # post-mortem had to infer both indirectly; now every run logs them)
+        if "visit_counts" in self._last_records:
+            vc = np.asarray(self._last_records["visit_counts"], np.float64)
+            p = vc / np.maximum(vc.sum(-1, keepdims=True), 1e-9)
+            ent = -np.sum(p * np.log(np.maximum(p, 1e-12)), axis=-1)
+            stats["visit_entropy"] = float(np.mean(ent))
+        if "searched_value" in self._last_records:
+            stats["searched_value"] = float(
+                np.mean(np.asarray(self._last_records["searched_value"]))
+            )
         return episodes, priorities, stats

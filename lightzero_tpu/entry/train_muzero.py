@@ -307,6 +307,12 @@ def train_muzero(
             upc = int(update_per_collect)
         if buffer.num_transitions < batch_size:
             continue
+        # reference train_start_after_envsteps (atari_unizero_config.py:79):
+        # with replay_ratio-scaled update counts, training on a near-empty
+        # buffer would burn hundreds of updates overfitting the first few
+        # episodes
+        if collector.total_env_steps < int(pcfg.get("train_start_after_envsteps", 0)):
+            continue
         logs = {}
         for _ in range(upc):
             batch, idx = buffer.sample(batch_size, state.target_params)

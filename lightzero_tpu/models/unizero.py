@@ -207,9 +207,16 @@ class UniZeroModel(nn.Module):
         dict of per-step head outputs (value/policy at obs positions 0..K,
         reward/obs_pred at action positions 0..K-1) + the target obs
         embeddings."""
-        B, K1 = obs_seq.shape[:2]
-        K = K1 - 1
         obs_e = jax.vmap(self.encode_obs, in_axes=1, out_axes=1)(obs_seq)  # (B, K+1, D)
+        return self.train_forward_embedded(obs_e, actions, task_id)
+
+    def train_forward_embedded(self, obs_e: jnp.ndarray, actions: jnp.ndarray, task_id=None):
+        """train_forward on PRE-EMBEDDED obs tokens (B, K+1, D) — lets the
+        drift-correction loss re-run the sequence with the model's own
+        predicted embeddings substituted for the real ones (the tokens the
+        search actually rolls over, policy/unizero.py:_recurrent_fn)."""
+        B, K1 = obs_e.shape[:2]
+        K = K1 - 1
         act_e = self.embed_action(actions)  # (B, K, D)
         # interleave [o_0, a_0, o_1, a_1, ..., o_K] -> 2K+1 tokens
         D = obs_e.shape[-1]

@@ -127,6 +127,16 @@ class UniZeroPolicy(MuZeroPolicy):
         # reanalyze roots threaded with the true (obs, action) history
         # context (game_buffer_unizero.py:400,544); 0 = fresh single-obs root
         cfg.reanalyze_context_steps = 4
+        # drift-correction loss weight (round-5 original addition, motivated
+        # by MuZero's unrolled-latent training): a second forward pass with
+        # the model's OWN 1-step predicted obs embeddings substituted for
+        # the real ones, applying reward/value/policy CE there too. The
+        # fused search rolls the WM autoregressively (_recurrent_fn feeds
+        # obs_pred back), but the teacher-forced loss never trains the heads
+        # on those self-generated tokens — so the search can hallucinate
+        # rewards and produce decisive-but-wrong visit targets
+        # (scripts/diag_uz_hallucination.py measures this). 0 = off.
+        cfg.drift_correction_weight = 0.0
         return cfg
 
     # the GameBuffer supplies (obs history, action history) to reanalyze
@@ -378,6 +388,31 @@ class UniZeroPolicy(MuZeroPolicy):
                                    jnp.clip(obs_flat, 0.0, 1.0))
                 )
 
+        # drift correction: re-run the sequence with the model's own 1-step
+        # predicted obs embeddings (exactly the depth-1 tokens the search
+        # rolls over) and train reward/value/policy heads to stay correct
+        # there. stop_gradient on the predictions: this corrects the heads
+        # and trunk ON drifted inputs without dragging obs_pred toward them.
+        dc_w = float(cfg.get("drift_correction_weight", 0.0))
+        dc_reward_loss = jnp.zeros(())
+        if dc_w > 0:
+            obs_e2 = jnp.concatenate(
+                [out["obs_embeddings"][:, :1],
+                 jax.lax.stop_gradient(out["obs_pred"])], axis=1)
+            out2 = self.model.apply(
+                params, obs_e2, batch.actions, task_id,
+                method=UniZeroModel.train_forward_embedded)
+            dc_reward = cross_entropy_loss(out2["reward_logits"], tr_cat).sum(-1)
+            dc_value = cross_entropy_loss(
+                out2["value_logits"][:, 1:], tv_cat[:, 1:]).sum(-1)
+            dc_policy = cross_entropy_loss(
+                out2["policy_logits"][:, 1:], batch.target_policy[:, 1:]).sum(-1)
+            drift_loss = (
+                cfg.reward_loss_weight * dc_reward
+                + cfg.value_loss_weight * dc_value
+                + cfg.policy_loss_weight * dc_policy
+            )
+            dc_reward_loss = jnp.mean(dc_reward)
         loss = (
             cfg.policy_loss_weight * policy_loss
             + cfg.value_loss_weight * value_loss
@@ -385,6 +420,8 @@ class UniZeroPolicy(MuZeroPolicy):
             + cfg.obs_loss_weight * obs_loss
             + entropy_weight * (-entropy)
         )
+        if dc_w > 0:
+            loss = loss + dc_w * drift_loss
         extra = alpha_loss + recon_w * latent_recon_loss
         latent_norm_max = jnp.max(jnp.linalg.norm(out["obs_embeddings"], axis=-1))
         logs = dict(
@@ -393,6 +430,7 @@ class UniZeroPolicy(MuZeroPolicy):
             reward_loss=jnp.mean(reward_loss),
             obs_loss=jnp.mean(obs_loss),
             latent_recon_loss=latent_recon_loss,
+            dc_reward_loss=dc_reward_loss,
             alpha_loss=alpha_loss,
             entropy_weight=entropy_weight,
             latent_norm_max=latent_norm_max,

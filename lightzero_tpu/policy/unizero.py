@@ -424,6 +424,11 @@ class UniZeroPolicy(MuZeroPolicy):
             loss = loss + dc_w * drift_loss
         extra = alpha_loss + recon_w * latent_recon_loss
         latent_norm_max = jnp.max(jnp.linalg.norm(out["obs_embeddings"], axis=-1))
+        # encoder-collapse telemetry (round-5: v6's encoder collapsed to a
+        # CONSTANT embedding — obs_loss 1e-4, all states identical; this
+        # std is ~0 iff collapsed)
+        emb_flat_all = out["obs_embeddings"].reshape(-1, out["obs_embeddings"].shape[-1])
+        latent_batch_std = jnp.mean(jnp.std(emb_flat_all, axis=0))
         logs = dict(
             policy_loss=jnp.mean(policy_loss),
             value_loss=jnp.mean(value_loss),
@@ -434,6 +439,7 @@ class UniZeroPolicy(MuZeroPolicy):
             alpha_loss=alpha_loss,
             entropy_weight=entropy_weight,
             latent_norm_max=latent_norm_max,
+            latent_batch_std=latent_batch_std,
             # per-head max |logits| for Head-Clip (reference
             # head_clip_manager.py:184-260 monitors these)
             policy_logits_max=jnp.max(jnp.abs(out["policy_logits"])),

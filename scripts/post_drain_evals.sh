@@ -29,4 +29,11 @@ if [ -d data_mt/pendulum_suite_scalezero_v3_seed0/ckpt/params_best ] || \
     >> /tmp/post_drain.log 2>&1
   log "szv3 eval rc=$?"
 fi
+if [ -d data_mz/tictactoe_muzero_v2_seed0/ckpt ]; then
+  log "benchmark rescore (tictactoe_muzero + connect4 rows)"
+  JAX_PLATFORMS=cpu LZT_BENCH_CHECK_ONLY=1 timeout 5400 \
+    python zoo/eval_benchmark.py tictactoe_muzero connect4_muzero connect4_muzero_ft \
+    >> /tmp/post_drain.log 2>&1
+  log "benchmark rescore rc=$?"
+fi
 log "post-drain evals done"

@@ -137,6 +137,13 @@ class UniZeroPolicy(MuZeroPolicy):
         # rewards and produce decisive-but-wrong visit targets
         # (scripts/diag_uz_hallucination.py measures this). 0 = off.
         cfg.drift_correction_weight = 0.0
+        # iterated correction passes: pass k substitutes pass (k-1)'s
+        # obs_pred, so pass 2 trains the heads on depth-2 drift states etc.
+        # The search adversarially SELECTS the most value-inflated branches
+        # (winner's curse over WM noise), so correcting only depth-1 leaves
+        # deep-leaf backups optimistic (v8 telemetry: searched_value still
+        # 5-10x true with visit entropy 0.24).
+        cfg.drift_correction_depth = 1
         return cfg
 
     # the GameBuffer supplies (obs history, action history) to reanalyze
@@ -394,25 +401,30 @@ class UniZeroPolicy(MuZeroPolicy):
         # there. stop_gradient on the predictions: this corrects the heads
         # and trunk ON drifted inputs without dragging obs_pred toward them.
         dc_w = float(cfg.get("drift_correction_weight", 0.0))
+        dc_depth = int(cfg.get("drift_correction_depth", 1))
         dc_reward_loss = jnp.zeros(())
         if dc_w > 0:
-            obs_e2 = jnp.concatenate(
-                [out["obs_embeddings"][:, :1],
-                 jax.lax.stop_gradient(out["obs_pred"])], axis=1)
-            out2 = self.model.apply(
-                params, obs_e2, batch.actions, task_id,
-                method=UniZeroModel.train_forward_embedded)
-            dc_reward = cross_entropy_loss(out2["reward_logits"], tr_cat).sum(-1)
-            dc_value = cross_entropy_loss(
-                out2["value_logits"][:, 1:], tv_cat[:, 1:]).sum(-1)
-            dc_policy = cross_entropy_loss(
-                out2["policy_logits"][:, 1:], batch.target_policy[:, 1:]).sum(-1)
-            drift_loss = (
-                cfg.reward_loss_weight * dc_reward
-                + cfg.value_loss_weight * dc_value
-                + cfg.policy_loss_weight * dc_policy
-            )
-            dc_reward_loss = jnp.mean(dc_reward)
+            drift_loss = jnp.zeros(batch.obs.shape[0])
+            prev = out
+            for _d in range(dc_depth):
+                obs_ed = jnp.concatenate(
+                    [out["obs_embeddings"][:, :1],
+                     jax.lax.stop_gradient(prev["obs_pred"])], axis=1)
+                outd = self.model.apply(
+                    params, obs_ed, batch.actions, task_id,
+                    method=UniZeroModel.train_forward_embedded)
+                dc_reward = cross_entropy_loss(outd["reward_logits"], tr_cat).sum(-1)
+                dc_value = cross_entropy_loss(
+                    outd["value_logits"][:, 1:], tv_cat[:, 1:]).sum(-1)
+                dc_policy = cross_entropy_loss(
+                    outd["policy_logits"][:, 1:], batch.target_policy[:, 1:]).sum(-1)
+                drift_loss = drift_loss + (
+                    cfg.reward_loss_weight * dc_reward
+                    + cfg.value_loss_weight * dc_value
+                    + cfg.policy_loss_weight * dc_policy
+                ) / dc_depth
+                dc_reward_loss = dc_reward_loss + jnp.mean(dc_reward) / dc_depth
+                prev = outd
         loss = (
             cfg.policy_loss_weight * policy_loss
             + cfg.value_loss_weight * value_loss

@@ -320,6 +320,14 @@ def main():
     )
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
+    # durable params export: lets an online run warm-start from the
+    # distilled policy (load_checkpoint_lenient restores it into a fresh
+    # TrainState)
+    from lightzero_tpu.utils.checkpoint import save_params_export
+
+    export_dir = os.path.join(os.path.dirname(OUT) or ".", "probe_params_best")
+    save_params_export(state, export_dir)
+    print("params exported to", export_dir)
     print("VERDICT:", results["verdict"])
 
 

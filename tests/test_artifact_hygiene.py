@@ -42,6 +42,11 @@ def test_no_dead_run_dirs():
         abs_d = os.path.join(REPO, d)
         if not os.path.isdir(abs_d):
             continue  # tracked file at data_*/ top level
+        if any(
+            os.path.exists(os.path.join(abs_d, m))
+            for m in ("manifest.ocdbt", "_CHECKPOINT_METADATA")
+        ):
+            continue  # standalone orbax checkpoint export, not a run dir
         log = os.path.join(abs_d, "log", "train.jsonl")
         has_log = os.path.exists(log) and os.path.getsize(log) > 0
         has_evidence = any(
